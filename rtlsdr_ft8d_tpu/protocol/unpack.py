@@ -1,0 +1,171 @@
+"""unpack77: 77-bit FT8 payload -> message text.
+
+Role-equivalent of ft8_lib's unpack.c; the reference consumes the unpacked
+text at /root/reference/rtlsdr_ft8d.c:1494,1509. Supports i3 types 0 (free
+text / telemetry), 1, 2 (standard, '/R' and '/P'), 3 (RTTY RU), 4
+(nonstandard call) and reports unknown types as raw hex.
+"""
+
+import numpy as np
+
+from .text import (A1, A2, A3, A4, FREE_TEXT_ALPHABET, MAX22, MAXGRID4,
+                   NTOKENS, CallsignHashTable)
+
+
+class UnpackError(ValueError):
+    pass
+
+
+def _int_from_bits(bits) -> int:
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v
+
+
+def unpack_callsign_28(n28: int, ip: int, i3: int,
+                       hashes: CallsignHashTable | None = None) -> str:
+    if n28 < NTOKENS:
+        if n28 == 0:
+            return "DE"
+        if n28 == 1:
+            return "QRZ"
+        if n28 == 2:
+            return "CQ"
+        if 3 <= n28 <= 1002:
+            return f"CQ {n28 - 3:03d}"
+        if 1003 <= n28 <= 532443:
+            m = n28 - 1003
+            letters = []
+            while m:
+                letters.append(chr(ord("A") + (m % 27) - 1))
+                m //= 27
+            return "CQ " + "".join(reversed(letters))
+        raise UnpackError(f"reserved token {n28}")
+    if n28 < NTOKENS + MAX22:
+        h = n28 - NTOKENS
+        call = hashes.lookup(h, 22) if hashes else None
+        return f"<{call}>" if call else "<...>"
+    n = n28 - NTOKENS - MAX22
+    c6 = A4[n % 27]; n //= 27
+    c5 = A4[n % 27]; n //= 27
+    c4 = A4[n % 27]; n //= 27
+    c3 = A3[n % 10]; n //= 10
+    c2 = A2[n % 36]; n //= 36
+    if n >= len(A1):
+        raise UnpackError("bad standard callsign index")
+    c1 = A1[n]
+    call = (c1 + c2 + c3 + c4 + c5 + c6).strip()
+    if ip:
+        call += "/R" if i3 == 1 else "/P"
+    return call
+
+
+def unpack_grid_15(g15: int, ir: int) -> str:
+    if g15 <= MAXGRID4:
+        g = g15
+        c1 = chr(ord("A") + g // (18 * 100))
+        g %= 18 * 100
+        c2 = chr(ord("A") + g // 100)
+        g %= 100
+        field = f"{c1}{c2}{g // 10}{g % 10}"
+    else:
+        irpt = g15 - MAXGRID4
+        if irpt == 1:
+            field = ""
+        elif irpt == 2:
+            field = "RRR"
+        elif irpt == 3:
+            field = "RR73"
+        elif irpt == 4:
+            field = "73"
+        else:
+            field = f"{irpt - 35:+03d}"
+    if ir and field:
+        # reports combine as a single "R-09"-style token; grids keep a space
+        field = ("R" + field) if field[0] in "+-" else ("R " + field)
+    return field
+
+
+def _unpack_free_text(bits71) -> str:
+    v = _int_from_bits(bits71)
+    chars = []
+    for _ in range(13):
+        chars.append(FREE_TEXT_ALPHABET[v % 42])
+        v //= 42
+    return "".join(reversed(chars)).strip()
+
+
+def _unpack_nonstd(bits, hashes) -> str:
+    # i3=4: h12 (12) + c58 (58) + h1 (1) + r2 (2) + c1 (1)
+    h12 = _int_from_bits(bits[0:12])
+    n58 = _int_from_bits(bits[12:70])
+    h1 = int(bits[70])
+    r2 = _int_from_bits(bits[71:73])
+    c1 = int(bits[73])
+    from .text import HASH_ALPHABET
+    chars = []
+    for _ in range(11):
+        chars.append(HASH_ALPHABET[n58 % 38])
+        n58 //= 38
+    call = "".join(reversed(chars)).strip()
+    if hashes is not None:
+        hashes.add(call)
+    other = hashes.lookup(h12, 12) if hashes else None
+    other_s = f"<{other}>" if other else "<...>"
+    rpt = {0: "", 1: "RRR", 2: "RR73", 3: "73"}[r2]
+    if c1:
+        return f"CQ {call}" + (f" {rpt}" if rpt else "")
+    a, b = (other_s, call) if h1 == 0 else (call, other_s)
+    return f"{a} {b}" + (f" {rpt}" if rpt else "")
+
+
+def unpack77(payload_bits: np.ndarray,
+             hashes: CallsignHashTable | None = None) -> str:
+    """Decode 77 payload bits to message text."""
+    bits = np.asarray(payload_bits).astype(np.int64)
+    i3 = _int_from_bits(bits[74:77])
+    if i3 == 0:
+        n3 = _int_from_bits(bits[71:74])
+        if n3 == 0:
+            return _unpack_free_text(bits[0:71])
+        if n3 == 5:
+            v = _int_from_bits(bits[0:71])
+            return f"{v:018X}"
+        raise UnpackError(f"unsupported 0.{n3} message")
+    if i3 in (1, 2):
+        n28a = _int_from_bits(bits[0:28]); ipa = int(bits[28])
+        n28b = _int_from_bits(bits[29:57]); ipb = int(bits[57])
+        ir = int(bits[58])
+        g15 = _int_from_bits(bits[59:74])
+        ca = unpack_callsign_28(n28a, ipa, i3, hashes)
+        cb = unpack_callsign_28(n28b, ipb, i3, hashes)
+        if hashes is not None:
+            for c in (ca, cb):
+                if not c.startswith("<") and not c.startswith("CQ"):
+                    hashes.add(c.replace("/R", "").replace("/P", ""))
+        field3 = unpack_grid_15(g15, ir)
+        msg = f"{ca} {cb}"
+        if field3:
+            msg += f" {field3}"
+        return msg
+    if i3 == 3:
+        # t1 c28 c28 R1 r3 s13
+        tu = int(bits[0])
+        n28a = _int_from_bits(bits[1:29])
+        n28b = _int_from_bits(bits[29:57])
+        ir = int(bits[57])
+        r3 = _int_from_bits(bits[58:61])
+        s13 = _int_from_bits(bits[61:74])
+        ca = unpack_callsign_28(n28a, 0, i3, hashes)
+        cb = unpack_callsign_28(n28b, 0, i3, hashes)
+        rpt = f"{r3 + 2}{'59' if s13 < 8000 else '599'}"
+        serial = str(s13)
+        parts = (["TU;"] if tu else []) + [ca, cb, ("R " if ir else "") + rpt,
+                                           serial]
+        return " ".join(parts)
+    if i3 == 4:
+        return _unpack_nonstd(bits, hashes)
+    # i3 5..7: not implemented — surface as typed raw payload
+    v = _int_from_bits(bits[0:74])
+    return f"<type{i3}:{v:019X}>"
