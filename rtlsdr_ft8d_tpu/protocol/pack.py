@@ -149,10 +149,53 @@ def _try_pack_std(tokens, i3):
     return np.array(bits, dtype=np.uint8)
 
 
+def _is_nonstd_call(tok: str) -> bool:
+    from .text import HASH_ALPHABET
+    if normalize_standard(tok) is not None or tok in ("CQ", "DE", "QRZ"):
+        return False
+    if (tok.endswith("/R") or tok.endswith("/P")) and \
+            normalize_standard(tok[:-2]) is not None:
+        return False
+    return (3 <= len(tok) <= 11 and all(c in HASH_ALPHABET for c in tok)
+            and any(c.isalpha() for c in tok) and any(c.isdigit() or c == "/"
+                                                      for c in tok))
+
+
+def _try_pack_nonstd(tokens):
+    """Type 4: h12 c58 h1 r2 c1 — one nonstandard call sent in full."""
+    from .text import HASH_ALPHABET, hash_callsign
+    r2 = 0
+    toks = list(tokens)
+    if toks and toks[-1] in ("RRR", "RR73", "73"):
+        r2 = {"RRR": 1, "RR73": 2, "73": 3}[toks.pop()]
+    if len(toks) != 2:
+        return None
+    if toks[0] == "CQ" and _is_nonstd_call(toks[1]):
+        c1, h1, h12, call = 1, 0, 0, toks[1]
+    elif _is_nonstd_call(toks[0]) and normalize_standard(toks[1]):
+        c1, h1, h12, call = 0, 1, hash_callsign(toks[1], 12), toks[0]
+    elif normalize_standard(toks[0]) and _is_nonstd_call(toks[1]):
+        c1, h1, h12, call = 0, 0, hash_callsign(toks[0], 12), toks[1]
+    else:
+        return None
+    n58 = 0
+    for ch in call.rjust(11):
+        n58 = n58 * 38 + HASH_ALPHABET.index(ch)
+    bits = (_bits_from_int(h12, 12) + _bits_from_int(n58, 58) + [h1]
+            + _bits_from_int(r2, 2) + [c1] + _bits_from_int(4, 3))
+    return np.array(bits, dtype=np.uint8)
+
+
 def pack77(text: str) -> np.ndarray:
     """Pack message text into 77 payload bits; raises PackError on failure."""
     text = " ".join(text.strip().upper().split())
     tokens = text.split(" ")
+    nonstd = [t for t in tokens if _is_nonstd_call(t)]
+    if nonstd:
+        out = _try_pack_nonstd(tokens)
+        if out is not None:
+            assert out.shape[0] == FT8_PAYLOAD_BITS
+            return out
     i3 = 2 if any(t.endswith("/P") for t in tokens[:2]) else 1
     out = _try_pack_std(tokens, i3)
     if out is not None:
