@@ -1,0 +1,78 @@
+"""Noncoherent 8-FSK log-likelihood extraction, vectorized over candidates.
+
+TPU-native equivalent of ft8_lib's ft8_extract_likelihood/ft8_decode_symbol
+as driven by the reference decode loop (/root/reference/rtlsdr_ft8d.c:1476).
+For every candidate the 58 data symbols (channel symbols 7..35 and 43..71)
+contribute 3 Gray-demapped max-log bit LLRs from the 8 tone magnitudes; the
+174-vector is then variance-normalized with the ft8_lib scaling factor
+sqrt(24/var). Everything is a batched gather + elementwise max — no loops
+over candidates.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..protocol.constants import (FT8_LDPC_N, FT8_ND, GRAY_MAP, NUM_BIN,
+                                  NUM_BLOCKS)
+
+# Data symbol channel indices: k + 7 for k<29 else k + 14.
+_DATA_SYM = np.array([k + (7 if k < 29 else 14) for k in range(FT8_ND)],
+                     dtype=np.int32)
+_GRAY = GRAY_MAP.astype(np.int32)
+
+# Bit masks for max-log LLRs: bit b of the 3-bit group, over s2[j] where j is
+# the Gray-decoded value. logl[b] = max_{j: bit b of j set} s2[j]
+#                                  - max_{j: bit b of j clear} s2[j]
+_BIT_SET = np.array([[(j >> (2 - b)) & 1 for j in range(8)]
+                     for b in range(3)], dtype=bool)         # (3, 8)
+
+
+def extract_llrs(wf: jax.Array, cand: dict) -> jax.Array:
+    """Extract normalized LLRs for each candidate.
+
+    Args:
+      wf: (B, 92, 2, 2, 256) uint8 waterfall.
+      cand: dict of (B, K) int arrays (time_sub/freq_sub/time_offset/
+        freq_offset) from find_sync.
+
+    Returns:
+      (B, K, 174) float32 normalized LLRs.
+    """
+    w = wf.astype(jnp.float32)
+    ts, fs = cand["time_sub"], cand["freq_sub"]         # (B, K)
+    to, fo = cand["time_offset"], cand["freq_offset"]   # (B, K)
+    B, K = ts.shape
+
+    sym = jnp.asarray(_DATA_SYM)                         # (58,)
+    blocks = to[..., None] + sym[None, None, :]          # (B, K, 58)
+    valid = (blocks >= 0) & (blocks < NUM_BLOCKS)
+    blocks_c = jnp.clip(blocks, 0, NUM_BLOCKS - 1)
+
+    # tone bins: fo + gray[j], j = 0..7
+    bins = fo[..., None] + jnp.asarray(_GRAY)[None, None, :]  # (B, K, 8)
+    bins = jnp.clip(bins, 0, NUM_BIN - 1)
+
+    b_idx = jnp.arange(B)[:, None, None, None]
+    blk = blocks_c[..., :, None]                         # (B, K, 58, 1)
+    tsx = ts[..., None, None]
+    fsx = fs[..., None, None]
+    binx = bins[..., None, :]                            # (B, K, 1, 8)
+    s2 = w[b_idx, blk, tsx, fsx, binx]                   # (B, K, 58, 8)
+
+    set_mask = jnp.asarray(_BIT_SET)                     # (3, 8)
+    s2e = s2[..., None, :]                               # (B, K, 58, 1, 8)
+    neg = jnp.float32(-1e30)
+    max_set = jnp.max(jnp.where(set_mask, s2e, neg), axis=-1)
+    max_clr = jnp.max(jnp.where(set_mask, neg, s2e), axis=-1)
+    logl = max_set - max_clr                             # (B, K, 58, 3)
+    logl = jnp.where(valid[..., None], logl, 0.0)
+    log174 = logl.reshape(B, K, FT8_LDPC_N)
+
+    # ft8_lib normalization: scale to variance 24
+    s = jnp.sum(log174, axis=-1, keepdims=True)
+    s2sum = jnp.sum(log174 * log174, axis=-1, keepdims=True)
+    inv_n = 1.0 / FT8_LDPC_N
+    var = (s2sum - s * s * inv_n) * inv_n
+    norm = jnp.sqrt(24.0 / jnp.maximum(var, 1e-12))
+    return log174 * norm

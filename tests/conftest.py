@@ -1,12 +1,22 @@
 import os
 import sys
 
-# Force a deterministic 8-device CPU mesh for all tests; real-TPU benches are
-# run separately via bench.py. Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+# Tests run on a deterministic virtual 8-device CPU mesh (real-TPU benches go
+# through bench.py). The sandbox sitecustomize registers an 'axon' TPU PJRT
+# plugin at interpreter boot and exports JAX_PLATFORMS=axon, but no backend
+# has been *instantiated* yet when conftest loads — so overriding the env
+# (hard, not setdefault) plus jax.config still wins.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_sessionstart(session):
+    devs = jax.devices()
+    assert devs[0].platform == "cpu" and len(devs) == 8, devs

@@ -1,0 +1,80 @@
+"""End-to-end loopback tests: encode -> modulate -> decode.
+
+Mirrors the reference self-test strategy (/root/reference/rtlsdr_ft8d.c:
+913-972) but checks the FULL text of every expected message (the reference's
+own check is bugged — SURVEY.md §8) and sweeps SNR and placement.
+"""
+
+import numpy as np
+import pytest
+
+from rtlsdr_ft8d_tpu.host.synth import synthesize_message, synthesize_tones
+from rtlsdr_ft8d_tpu.pipeline import decode_window
+from rtlsdr_ft8d_tpu.protocol.constants import GOLDEN_TONES
+
+
+def texts(decodes):
+    return {d.text for d in decodes}
+
+
+def test_selftest_loopback():
+    """The reference's self-test scenario: CQ K1JT FN20QI @ 50 Hz."""
+    iq = synthesize_message("CQ K1JT FN20QI", f0_hz=50.0, noise_sigma=0.02,
+                            rng=np.random.default_rng(1))
+    decodes = decode_window(iq)
+    assert "CQ K1JT FN20" in texts(decodes)
+    d = [d for d in decodes if d.text == "CQ K1JT FN20"][0]
+    assert d.call == "K1JT"
+    assert d.loc == "FN20"
+
+
+def test_golden_tones_decode():
+    iq = synthesize_tones(GOLDEN_TONES, f0_hz=625.0, noise_sigma=0.1,
+                          rng=np.random.default_rng(2))
+    assert "CQ K1JT FN20" in texts(decode_window(iq))
+
+
+@pytest.mark.parametrize("sigma,expect", [(0.5, True), (1.0, True),
+                                          (2.0, True)])
+def test_snr_sweep(sigma, expect):
+    """amp 0.5 tone vs complex noise: sigma=2.0 is about -14 dB SNR(2.5kHz)."""
+    iq = synthesize_message("K1ABC W9XYZ R-09", f0_hz=812.5,
+                            noise_sigma=sigma, rng=np.random.default_rng(4))
+    assert ("K1ABC W9XYZ R-09" in texts(decode_window(iq))) == expect
+
+
+def test_multiple_messages_one_window():
+    rng = np.random.default_rng(9)
+    iq = (synthesize_message("CQ K1JT FN20", f0_hz=200.0, noise_sigma=0.0)
+          + synthesize_message("K1ABC W9XYZ EN37", f0_hz=700.0,
+                               noise_sigma=0.0)
+          + synthesize_message("W9XYZ K1ABC RR73", f0_hz=1212.5,
+                               noise_sigma=0.1, rng=rng))
+    got = texts(decode_window(iq))
+    assert {"CQ K1JT FN20", "K1ABC W9XYZ EN37", "W9XYZ K1ABC RR73"} <= got
+
+
+def test_batch_channels():
+    ch0 = synthesize_message("CQ VA2GKA FN35", f0_hz=400.0, noise_sigma=0.2,
+                             rng=np.random.default_rng(11))
+    ch1 = synthesize_message("CQ DX W9XYZ EN37", f0_hz=931.25,
+                             noise_sigma=0.2, rng=np.random.default_rng(12))
+    res = decode_window(np.stack([ch0, ch1]))
+    assert "CQ VA2GKA FN35" in texts(res[0])
+    assert "CQ DX W9XYZ EN37" in texts(res[1])
+
+
+def test_time_offset_robustness():
+    """Signal starting 1 s into the window must still decode."""
+    iq = synthesize_message("CQ K1JT FN20", f0_hz=525.0, noise_sigma=0.1,
+                            start_sample=3200, rng=np.random.default_rng(13))
+    decodes = decode_window(iq)
+    assert "CQ K1JT FN20" in texts(decodes)
+    d = [d for d in decodes if d.text == "CQ K1JT FN20"][0]
+    assert 0.7 < d.time_sec < 1.3
+
+
+def test_dedup_single_message():
+    iq = synthesize_message("CQ K1JT FN20", f0_hz=493.75, noise_sigma=0.02)
+    decodes = decode_window(iq)
+    assert len([d for d in decodes if d.text == "CQ K1JT FN20"]) == 1
