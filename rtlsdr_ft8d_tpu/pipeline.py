@@ -24,7 +24,7 @@ from .ops.llr import extract_llrs
 from .ops.sync import find_sync
 from .ops.waterfall import waterfall
 from .protocol.constants import (FT8_LDPC_K, K_LDPC_ITERS, K_MAX_CANDIDATES,
-                                 K_MIN_SCORE, TONE_SPACING_HZ)
+                                 K_MAX_MESSAGES, K_MIN_SCORE, TONE_SPACING_HZ)
 from .protocol.text import CallsignHashTable
 from .protocol.unpack import UnpackError, unpack77
 
@@ -64,31 +64,50 @@ class Decode:
 
 
 @functools.partial(jax.jit, static_argnames=("num_candidates", "ldpc_iters"))
-def decode_window_device(iq: jax.Array,
+def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
                          num_candidates: int = K_MAX_CANDIDATES,
                          ldpc_iters: int = K_LDPC_ITERS):
-    """Device-side decode graph.
+    """Device-side decode graph (float32 I/Q, no complex dtypes on device —
+    mirrors the reference's `ft8_subsystem(iSamples, qSamples, ...)` API,
+    rtlsdr_ft8d.c:1387).
 
     Args:
-      iq: (B, 48000) complex64 baseband channels at 3200 sps.
+      i_samples, q_samples: (B, 48000) float32 baseband channels at 3200 sps.
 
     Returns dict with (B, K) candidate metadata and per-candidate results:
       hard (B, K, 91) int8, ldpc_errors (B, K) int32, crc_ok (B, K) bool.
     """
-    wf = waterfall(iq)
+    wf = waterfall(i_samples, q_samples)
     cand = find_sync(wf, num_candidates)
     llrs = extract_llrs(wf, cand)
     hard, errors = bp_decode(llrs, ldpc_iters)
     ok = (errors == 0) & crc_check(hard) & (cand["score"] >= K_MIN_SCORE)
+
+    # Device-side survivor compaction: keep at most K_MAX_MESSAGES (50, the
+    # reference's per-window cap, rtlsdr_ft8d.h:46) CRC-clean candidates per
+    # channel and bit-pack their 91 message bits into 12 bytes — the host
+    # only ever sees a few KB per window instead of the full candidate set.
+    order = jnp.argsort(jnp.where(ok, -cand["score"], 1 << 20), axis=-1,
+                        stable=True)[..., :K_MAX_MESSAGES]
+    take = lambda x: jnp.take_along_axis(x, order, axis=-1)
+    hard_k = jnp.take_along_axis(
+        hard[..., :FT8_LDPC_K], order[..., None], axis=-2)
+    # pack 91 bits -> 12 bytes (5 trailing pad bits)
+    pad = jnp.zeros(hard_k.shape[:-1] + (96 - FT8_LDPC_K,), hard_k.dtype)
+    bits96 = jnp.concatenate([hard_k, pad], axis=-1)
+    weights = jnp.asarray(
+        np.array([128, 64, 32, 16, 8, 4, 2, 1], dtype=np.int32))
+    packed = jnp.sum(bits96.reshape(bits96.shape[:-1] + (12, 8))
+                     .astype(jnp.int32) * weights, axis=-1).astype(jnp.uint8)
     return {
-        "hard": hard[..., :FT8_LDPC_K],
-        "ldpc_errors": errors,
-        "crc_ok": ok,
-        "score": cand["score"],
-        "time_sub": cand["time_sub"],
-        "freq_sub": cand["freq_sub"],
-        "time_offset": cand["time_offset"],
-        "freq_offset": cand["freq_offset"],
+        "packed": packed,                                 # (B, 50, 12) uint8
+        "n_ok": jnp.sum(ok.astype(jnp.int32), axis=-1),   # (B,)
+        "ok": take(ok),
+        "score": take(cand["score"]).astype(jnp.int32),
+        "time_sub": take(cand["time_sub"]).astype(jnp.uint8),
+        "freq_sub": take(cand["freq_sub"]).astype(jnp.uint8),
+        "time_offset": take(cand["time_offset"]).astype(jnp.int8),
+        "freq_offset": take(cand["freq_offset"]).astype(jnp.int32),
     }
 
 
@@ -97,23 +116,30 @@ def decode_window(iq, hashes: CallsignHashTable | None = None,
                   ldpc_iters: int = K_LDPC_ITERS):
     """Decode a batch of channels; returns list (per channel) of Decode lists.
 
-    `iq` may be (48000,) or (B, 48000), complex or (i, q) float pair.
+    `iq` may be (48000,) or (B, 48000), complex or a (i, q) tuple of float32.
     """
-    iq = jnp.asarray(iq)
-    if iq.ndim == 1:
-        iq = iq[None]
+    if isinstance(iq, tuple):
+        i_s, q_s = (np.asarray(iq[0], np.float32), np.asarray(iq[1],
+                                                              np.float32))
+    else:
+        iq = np.asarray(iq)
+        i_s = np.real(iq).astype(np.float32)
+        q_s = np.imag(iq).astype(np.float32)
+    if i_s.ndim == 1:
+        i_s, q_s = i_s[None], q_s[None]
         squeeze = True
     else:
         squeeze = False
-    out = jax.device_get(decode_window_device(iq, num_candidates, ldpc_iters))
+    out = jax.device_get(decode_window_device(
+        jnp.asarray(i_s), jnp.asarray(q_s), num_candidates, ldpc_iters))
 
     results = []
-    for b in range(iq.shape[0]):
+    for b in range(i_s.shape[0]):
         seen = {}
         decodes = []
-        ok_idx = np.nonzero(out["crc_ok"][b])[0]
+        ok_idx = np.nonzero(out["ok"][b])[0]
         for k in ok_idx:
-            bits = out["hard"][b, k]
+            bits = np.unpackbits(out["packed"][b, k])
             try:
                 text = unpack77(bits[:77], hashes)
             except UnpackError:

@@ -26,7 +26,9 @@ def iq():
 
 @pytest.fixture(scope="module")
 def wf_pair(iq):
-    wf_jax = np.asarray(jax.jit(waterfall)(jnp.asarray(iq[None])))[0]
+    i_s = jnp.asarray(np.real(iq)[None].astype(np.float32))
+    q_s = jnp.asarray(np.imag(iq)[None].astype(np.float32))
+    wf_jax = np.asarray(jax.jit(waterfall)(i_s, q_s))[0]
     wf_ref = ref.waterfall_ref(iq)
     return wf_jax, wf_ref
 
