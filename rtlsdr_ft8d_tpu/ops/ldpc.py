@@ -41,11 +41,40 @@ for n in range(FT8_LDPC_N):
         m = _MN[n, i]
         _MN_POS[n, i] = int(np.where(_NM[m] == n)[0][0])
 
+# --- One-hot selection matrices: gathers become MXU matmuls ------------------
+# The TPU hates small irregular gathers and loves GEMMs; every per-edge
+# gather/scatter of the Tanner graph is expressed as multiplication by a
+# static 0/1 matrix over the 581-slot (check m, slot j) edge layout.
+_EDGES = FT8_LDPC_M * 7                     # 581 padded edge slots
+
+# E (N,174) @ _SEL_VAR2EDGE (174,581) -> per-edge variable values
+_SEL_VAR2EDGE = np.zeros((FT8_LDPC_N, _EDGES), np.float32)
+# tov flat (N,522) @ _SEL_TOV2EDGE (522,581) -> per-edge tov[n, pos(m)]
+_SEL_TOV2EDGE = np.zeros((FT8_LDPC_N * 3, _EDGES), np.float32)
+for m in range(FT8_LDPC_M):
+    for j in range(7):
+        n = _NM[m, j]
+        if n >= 0:
+            _SEL_VAR2EDGE[n, m * 7 + j] = 1.0
+            _SEL_TOV2EDGE[n * 3 + _NM_POS[m, j], m * 7 + j] = 1.0
+# edge excl (N,581) @ _SEL_EDGE2TOV (581,522) -> tov'[n, i]
+_SEL_EDGE2TOV = _SEL_TOV2EDGE.T.copy()
+# parity counting: hard (N,174) @ _SEL_VAR2CHECK (174,83) -> ones per check
+_SEL_VAR2CHECK = np.zeros((FT8_LDPC_N, FT8_LDPC_M), np.float32)
+for m in range(FT8_LDPC_M):
+    for j in range(7):
+        if _NM[m, j] >= 0:
+            _SEL_VAR2CHECK[_NM[m, j], m] = 1.0
+
 
 def _check_errors(hard: jax.Array) -> jax.Array:
     """Number of unsatisfied parity checks. hard: (..., 174) bool/int."""
     bits = hard[..., _NM_SAFE] & jnp.asarray(_NM_VALID)      # (..., 83, 7)
     return jnp.sum(jnp.sum(bits, axis=-1) % 2, axis=-1)
+
+
+_MM = dict(precision=jax.lax.Precision.HIGHEST,
+           preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters",))
@@ -61,58 +90,60 @@ def bp_decode(llr: jax.Array, max_iters: int = 20):
       iteration and (...,) int32 unsatisfied-check counts (0 = success).
     """
     batch_shape = llr.shape[:-1]
-    nm = jnp.asarray(_NM_SAFE)
-    nm_valid = jnp.asarray(_NM_VALID)
-    mn = jnp.asarray(_MN)
-    # one-hot selectors instead of take_along_axis (static tables, fuses well)
-    nm_pos_onehot = jnp.asarray(
-        np.eye(3, dtype=np.float32)[_NM_POS])               # (83, 7, 3)
-    mn_pos_onehot = jnp.asarray(
-        np.eye(7, dtype=np.float32)[_MN_POS])               # (174, 3, 7)
+    llr2 = llr.reshape((-1, FT8_LDPC_N))
+    N = llr2.shape[0]
 
-    tov0 = jnp.zeros(batch_shape + (FT8_LDPC_N, 3), llr.dtype)
-    best_err0 = jnp.full(batch_shape, FT8_LDPC_M, jnp.int32)
-    best_hard0 = jnp.zeros(batch_shape + (FT8_LDPC_N,), jnp.int8)
+    var2edge = jnp.asarray(_SEL_VAR2EDGE)
+    tov2edge = jnp.asarray(_SEL_TOV2EDGE)
+    edge2tov = jnp.asarray(_SEL_EDGE2TOV)
+    var2check = jnp.asarray(_SEL_VAR2CHECK)
+    edge_valid = jnp.asarray(_NM_VALID.reshape(-1))          # (581,)
+
+    tov0 = jnp.zeros((N, FT8_LDPC_N * 3), llr2.dtype)
+    best_err0 = jnp.full((N,), FT8_LDPC_M, jnp.int32)
+    best_hard0 = jnp.zeros((N, FT8_LDPC_N), jnp.int8)
 
     def body(_, state):
         tov, best_err, best_hard = state
-        # Hard decision on current posterior
-        post = llr + jnp.sum(tov, axis=-1)
-        hard = (post > 0).astype(jnp.int8)
-        errors = _check_errors(hard.astype(jnp.int32)).astype(jnp.int32)
-        # all-zeros codeword is prohibited (ft8_lib bp_decode)
-        allzero = jnp.sum(hard, axis=-1) == 0
+        tov3 = tov.reshape(N, FT8_LDPC_N, 3)
+        post = llr2 + jnp.sum(tov3, axis=-1)                 # (N, 174)
+        hard = (post > 0)
+        hardf = hard.astype(jnp.float32)
+        # parity via GEMM: ones-per-check mod 2
+        cnt = jnp.dot(hardf, var2check, **_MM)               # (N, 83)
+        errors = jnp.sum(jnp.mod(cnt, 2.0), axis=-1).astype(jnp.int32)
+        allzero = ~jnp.any(hard, axis=-1)
         errors = jnp.where(allzero, FT8_LDPC_M, errors)
         better = errors < best_err
         best_err = jnp.where(better, errors, best_err)
-        best_hard = jnp.where(better[..., None], hard, best_hard)
+        best_hard = jnp.where(better[..., None], hard.astype(jnp.int8),
+                              best_hard)
 
-        # Variable -> check messages: Tnm = llr[n] + sum tov[n] - tov[n][pos m]
-        e_all = llr + jnp.sum(tov, axis=-1)                  # (..., 174)
-        e_g = e_all[..., nm]                                 # (..., 83, 7)
-        tov_g = jnp.sum(tov[..., nm, :] * nm_pos_onehot, axis=-1)
-        tnm = e_g - tov_g
-        toc = jnp.tanh(-0.5 * tnm)
-        toc = jnp.where(nm_valid, toc, 1.0)                  # pad -> identity
+        # Variable -> check: Tnm = posterior[n] - tov[n, pos(m)] per edge
+        e_edge = jnp.dot(post, var2edge, **_MM)              # (N, 581)
+        tov_edge = jnp.dot(tov, tov2edge, **_MM)             # (N, 581)
+        toc = jnp.tanh(-0.5 * (e_edge - tov_edge))
+        toc = jnp.where(edge_valid, toc, 1.0)
+        toc7 = toc.reshape(N, FT8_LDPC_M, 7)
 
-        # Exclusive products per check row (7 static variants)
+        # Exclusive products per check row (7 static masked variants)
         excl = []
         for j in range(7):
             mask = np.ones(7, bool); mask[j] = False
-            excl.append(jnp.prod(jnp.where(jnp.asarray(mask), toc, 1.0),
+            excl.append(jnp.prod(jnp.where(jnp.asarray(mask), toc7, 1.0),
                                  axis=-1))
-        excl = jnp.stack(excl, axis=-1)                      # (..., 83, 7)
+        excl = jnp.stack(excl, axis=-1).reshape(N, _EDGES)
 
-        # Check -> variable: tov[n, i] = -2 atanh(excl[MN[n,i], MN_POS[n,i]])
-        excl_nv = excl[..., mn, :]                           # (..., 174, 3, 7)
-        val = jnp.sum(excl_nv * mn_pos_onehot, axis=-1)      # (..., 174, 3)
+        # Check -> variable scatter via GEMM
+        val = jnp.dot(excl, edge2tov, **_MM)                 # (N, 522)
         val = jnp.clip(val, -0.999999, 0.999999)
         tov_new = -2.0 * jnp.arctanh(val)
         return tov_new, best_err, best_hard
 
     _, best_err, best_hard = jax.lax.fori_loop(
         0, max_iters, body, (tov0, best_err0, best_hard0))
-    return best_hard, best_err
+    return (best_hard.reshape(batch_shape + (FT8_LDPC_N,)),
+            best_err.reshape(batch_shape))
 
 
 # --- CRC-14 as a GF(2) matrix (MXU-friendly batched check) -------------------

@@ -39,7 +39,6 @@ def extract_llrs(wf: jax.Array, cand: dict) -> jax.Array:
     Returns:
       (B, K, 174) float32 normalized LLRs.
     """
-    w = wf.astype(jnp.float32)
     ts, fs = cand["time_sub"], cand["freq_sub"]         # (B, K)
     to, fo = cand["time_offset"], cand["freq_offset"]   # (B, K)
     B, K = ts.shape
@@ -49,16 +48,17 @@ def extract_llrs(wf: jax.Array, cand: dict) -> jax.Array:
     valid = (blocks >= 0) & (blocks < NUM_BLOCKS)
     blocks_c = jnp.clip(blocks, 0, NUM_BLOCKS - 1)
 
-    # tone bins: fo + gray[j], j = 0..7
-    bins = fo[..., None] + jnp.asarray(_GRAY)[None, None, :]  # (B, K, 8)
-    bins = jnp.clip(bins, 0, NUM_BIN - 1)
-
-    b_idx = jnp.arange(B)[:, None, None, None]
-    blk = blocks_c[..., :, None]                         # (B, K, 58, 1)
-    tsx = ts[..., None, None]
-    fsx = fs[..., None, None]
-    binx = bins[..., None, :]                            # (B, K, 1, 8)
-    s2 = w[b_idx, blk, tsx, fsx, binx]                   # (B, K, 58, 8)
+    # Flat-index gather of 8 CONTIGUOUS tone bins per (candidate, symbol)
+    # followed by a static Gray permutation: one well-shaped gather instead
+    # of a scattered 5-D fancy-index (TPU gathers want contiguity).
+    wf_flat = wf.reshape(B, -1)                          # (B, 94208)
+    base = ((blocks_c * 2 + ts[..., None]) * 2
+            + fs[..., None]) * NUM_BIN + fo[..., None]   # (B, K, 58)
+    idx = base[..., None] + jnp.arange(8)[None, None, None, :]
+    idx = jnp.clip(idx, 0, wf_flat.shape[1] - 1).reshape(B, -1)
+    p8 = jnp.take_along_axis(wf_flat, idx, axis=-1)
+    p8 = p8.reshape(B, K, FT8_ND, 8).astype(jnp.float32)
+    s2 = p8[..., jnp.asarray(_GRAY)]                     # Gray demap
 
     set_mask = jnp.asarray(_BIT_SET)                     # (3, 8)
     s2e = s2[..., None, :]                               # (B, K, 58, 1, 8)

@@ -107,18 +107,44 @@ def sync_scores(wf: jax.Array) -> jax.Array:
     return jnp.sign(score) * q
 
 
-@functools.partial(jax.jit, static_argnames=("num_candidates",))
-def find_sync(wf: jax.Array, num_candidates: int = K_MAX_CANDIDATES):
+CHUNK = 16   # freq-offset cells per first-stage chunk (100 Hz of band)
+CHUNK_K = 4  # survivors per chunk; >1 signal per 100 Hz chunk is rare
+
+
+@functools.partial(jax.jit, static_argnames=("num_candidates", "exact"))
+def find_sync(wf: jax.Array, num_candidates: int = K_MAX_CANDIDATES,
+              exact: bool = False):
     """Top-K candidates by sync score.
 
     Returns dict of (..., K) arrays: score, time_sub, freq_sub, time_offset,
     freq_offset. Candidates below min_score are NOT filtered here — the
     caller masks on score (matching the reference's `score < K_MIN_SCORE`
     skip at rtlsdr_ft8d.c:1467).
+
+    By default the top-K runs in two stages (top-CHUNK_K per 16-cell freq
+    chunk, then global top-K over survivors) — a large win over a full sort
+    of all 71,856 cells on TPU. This is exact unless more than CHUNK_K of
+    the true global top-K fall in the SAME (time_sub, freq_sub, time_offset,
+    100 Hz) chunk, which requires >CHUNK_K interleaved signals within 100 Hz
+    at identical time alignment; `exact=True` forces the full sort.
     """
     scores = sync_scores(wf)
     flat = scores.reshape(scores.shape[:-4] + (-1,))
-    top, idx = jax.lax.top_k(flat, num_candidates)
+    if exact:
+        top, idx = jax.lax.top_k(flat, num_candidates)
+    else:
+        batch_shape = flat.shape[:-1]
+        n = flat.shape[-1]
+        pad = (-n) % CHUNK
+        flatp = jnp.pad(flat, [(0, 0)] * len(batch_shape) + [(0, pad)],
+                        constant_values=-(1 << 20))
+        chunks = flatp.reshape(batch_shape + (-1, CHUNK))
+        v1, i1 = jax.lax.top_k(chunks, CHUNK_K)          # (..., C, CHUNK_K)
+        base = (jnp.arange(chunks.shape[-2]) * CHUNK)[..., :, None]
+        gidx = (i1 + base).reshape(batch_shape + (-1,))
+        v1 = v1.reshape(batch_shape + (-1,))
+        top, sel = jax.lax.top_k(v1, num_candidates)
+        idx = jnp.take_along_axis(gidx, sel, axis=-1)
     # unravel [ts][fs][to][fo]
     fo = idx % NUM_FREQ_OFFSETS
     rest = idx // NUM_FREQ_OFFSETS
