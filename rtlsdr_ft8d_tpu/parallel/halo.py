@@ -1,0 +1,74 @@
+"""Sequence-parallel decimation: time axis sharded, halos over ICI.
+
+The direct distributed analogue of the reference's static filter-state
+carry (rtlsdr_ft8d.c:80-86,112-114): when one channel's 2.4 Msps stream is
+split in time across devices, each shard needs the previous shard's last
+HISTORY (=5250) input samples. That halo travels with jax.lax.ppermute over
+the mesh's ICI ring inside shard_map — no host round-trip, no gather of the
+full stream anywhere.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.decimate import HISTORY, R, polyphase_decimate
+
+TIME_AXIS = "t"
+
+
+def make_time_mesh(num_devices: int | None = None) -> Mesh:
+    import numpy as np
+    devs = jax.devices()
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    return Mesh(np.asarray(devs), (TIME_AXIS,))
+
+
+def decimate_time_sharded(i_s, q_s, mesh: Mesh):
+    """Decimate a (..., n) stream whose time axis is sharded over the mesh.
+
+    n must be divisible by (mesh_size * 750). Each device filters its local
+    span using a HISTORY-sample halo received from its left neighbor via
+    ppermute; device 0 uses zeros (stream start). Output is the (..., n/750)
+    decimated stream, time-sharded the same way.
+    """
+    axis_size = mesh.shape[TIME_AXIS]
+
+    def local(i_loc, q_loc):
+        # i_loc: (..., n_local) — this device's time span
+        perm = [(d, d + 1) for d in range(axis_size - 1)]
+        halo_i = jax.lax.ppermute(i_loc[..., -HISTORY:], TIME_AXIS, perm)
+        halo_q = jax.lax.ppermute(q_loc[..., -HISTORY:], TIME_AXIS, perm)
+        # device 0 received nothing -> ppermute fills zeros (stream start)
+        i_full = jnp.concatenate([halo_i, i_loc], axis=-1)
+        q_full = jnp.concatenate([halo_q, q_loc], axis=-1)
+        return polyphase_decimate(i_full, q_full)
+
+    spec = P(*([None] * 0), TIME_AXIS)   # shard last axis
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(TIME_AXIS), P(TIME_AXIS)),
+                   out_specs=(P(TIME_AXIS), P(TIME_AXIS)))
+    return fn(i_s, q_s)
+
+
+def decimate_batch_time_sharded(i_s, q_s, mesh: Mesh):
+    """(B, n) variant: batch replicated dims first, time axis last."""
+    axis_size = mesh.shape[TIME_AXIS]
+
+    def local(i_loc, q_loc):
+        perm = [(d, d + 1) for d in range(axis_size - 1)]
+        halo_i = jax.lax.ppermute(i_loc[..., -HISTORY:], TIME_AXIS, perm)
+        halo_q = jax.lax.ppermute(q_loc[..., -HISTORY:], TIME_AXIS, perm)
+        i_full = jnp.concatenate([halo_i, i_loc], axis=-1)
+        q_full = jnp.concatenate([halo_q, q_loc], axis=-1)
+        return polyphase_decimate(i_full, q_full)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(None, TIME_AXIS), P(None, TIME_AXIS)),
+                   out_specs=(P(None, TIME_AXIS), P(None, TIME_AXIS)))
+    return fn(i_s, q_s)
