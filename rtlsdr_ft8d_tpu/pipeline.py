@@ -77,6 +77,15 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
     Returns dict with (B, K) candidate metadata and per-candidate results:
       hard (B, K, 91) int8, ldpc_errors (B, K) int32, crc_ok (B, K) bool.
     """
+    # Per-window normalization to -3 dB peak (reference C9 normalizer,
+    # rtlsdr_ft8d.c:242-263): decode quality must not depend on capture gain.
+    peak = jnp.maximum(
+        jnp.max(jnp.abs(i_samples), axis=-1, keepdims=True),
+        jnp.max(jnp.abs(q_samples), axis=-1, keepdims=True))
+    scale = 0.5 / jnp.maximum(peak, 1e-12)
+    i_samples = i_samples * scale
+    q_samples = q_samples * scale
+
     wf = waterfall(i_samples, q_samples)
     cand = find_sync(wf, num_candidates)
     llrs = extract_llrs(wf, cand)
