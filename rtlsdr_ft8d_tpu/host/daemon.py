@@ -1,0 +1,168 @@
+"""Daemon main loop: 15-s UTC-aligned capture -> TPU decode -> report.
+
+Replaces the reference's thread/condvar/double-buffer architecture
+(/root/reference/rtlsdr_ft8d.c:1322-1354 + decoder() at c:221-285) with an
+explicit ingest queue: the source pushes full-rate u8 IQ into the native
+SPSC ring (which applies the int8 fs/4 mixer), the window loop drains
+exactly 15 s of samples at each UTC boundary, decimates on the TPU with
+overlap-save state carry, and decodes the *previous* window while the next
+one captures — the same capture/decode overlap as the reference's double
+buffer, without the by-timing data race (SURVEY.md §5).
+"""
+
+import ctypes
+import sys
+import time
+from datetime import datetime, timezone
+
+import numpy as np
+
+from ..ops.decimate import HISTORY, R, StreamingDecimator
+from ..pipeline import decode_window
+from ..protocol.constants import (CAPTURE_RATE, SIGNAL_LENGTH_S,
+                                  SIGNAL_SAMPLE_RATE)
+from ..protocol.text import CallsignHashTable
+from .cli import atofs, parse_frequency
+from .io import read_any, timestamped_name, write_iq
+from .reporter import PskReporter, print_spots
+
+WINDOW = SIGNAL_LENGTH_S * SIGNAL_SAMPLE_RATE
+FULLRATE_WINDOW = SIGNAL_LENGTH_S * CAPTURE_RATE
+
+
+def seconds_to_next_window(now=None) -> float:
+    """Time until the next 15-s UTC boundary (reference c:1339-1347)."""
+    now = now if now is not None else time.time()
+    return (15.0 - (now % 15.0)) % 15.0
+
+
+def decode_file(args) -> int:
+    """`-r file` mode: decode a recorded capture and exit (c:859-887)."""
+    path = args.readfile
+    i_s, q_s, dial = read_any(path)
+    dial_freq = int(dial) if dial else (
+        parse_frequency(args.frequency[0], 0)[0] if args.frequency else 0)
+    if i_s.shape[0] < WINDOW:
+        i_s = np.pad(i_s, (0, WINDOW - i_s.shape[0]))
+        q_s = np.pad(q_s, (0, WINDOW - q_s.shape[0]))
+    hashes = CallsignHashTable()
+    n_windows = i_s.shape[0] // WINDOW
+    total = 0
+    for w in range(max(1, n_windows)):
+        sl = slice(w * WINDOW, (w + 1) * WINDOW)
+        decodes = decode_window((i_s[sl], q_s[sl]), hashes=hashes)
+        when = datetime.now(timezone.utc)
+        print_spots(decodes, when, dial_freq)
+        total += len(decodes)
+    return 0 if total > 0 else 1
+
+
+class WindowProcessor:
+    """Drains the ingest ring, decimates, decodes, reports one window."""
+
+    def __init__(self, args, dial_freq_hz):
+        self.args = args
+        self.dial_freq = dial_freq_hz
+        self.hashes = CallsignHashTable()
+        self.decimator = StreamingDecimator()
+        self.reporter = PskReporter(
+            args.callsign, args.locator,
+            enabled=args.report and not args.noreport,
+            host=args.psk_host or "report.pskreporter.info",
+            port=args.psk_port)
+        self.windows_done = 0
+
+    def process_fullrate(self, i8: np.ndarray, q8: np.ndarray):
+        """One 15-s window of mixed int8 baseband at 2.4 Msps."""
+        n = (i8.shape[0] // R) * R
+        i_bb, q_bb = self.decimator.process(
+            i8[:n].astype(np.float32) / 128.0,
+            q8[:n].astype(np.float32) / 128.0)
+        return self.process_baseband(i_bb, q_bb)
+
+    def process_baseband(self, i_bb: np.ndarray, q_bb: np.ndarray):
+        if i_bb.shape[0] < WINDOW:
+            i_bb = np.pad(i_bb, (0, WINDOW - i_bb.shape[0]))
+            q_bb = np.pad(q_bb, (0, WINDOW - q_bb.shape[0]))
+        i_bb, q_bb = i_bb[:WINDOW], q_bb[:WINDOW]
+        epoch = int(time.time()) - SIGNAL_LENGTH_S + 1
+        when = datetime.fromtimestamp(epoch, timezone.utc)
+        decodes = decode_window((i_bb, q_bb), hashes=self.hashes)
+        print_spots(decodes, when, self.dial_freq)
+        if self.args.writefile:
+            write_iq(timestamped_name(self.args.writefile, when), i_bb, q_bb)
+        self.reporter.report(decodes, self.dial_freq, epoch)
+        self.windows_done += 1
+        return decodes
+
+
+def run_daemon(args) -> int:
+    """Live mode: RTL-SDR (or synthetic) -> ring -> windows (c:1202-1377)."""
+    from .. import native
+    from .sources import RtlSdrSource, SourceError, SyntheticSource
+
+    dial_freq, ds = parse_frequency(args.frequency[0], args.directsampling)
+    proc = WindowProcessor(args, dial_freq)
+
+    lib = native.load()
+    if lib is None:
+        print("native ingest library unavailable", file=sys.stderr)
+        return 1
+    ring = lib.ingest_ring_create(1 << 26)   # 64 Msamples ≈ 28 s headroom
+
+    synthetic = getattr(args, "synthetic", False)
+    try:
+        if synthetic:
+            source = SyntheticSource()
+        else:
+            source = RtlSdrSource(
+                device_index=args.device, dial_freq_hz=dial_freq,
+                gain=args.gain, autogain=args.autogain, ppm=args.ppm,
+                direct_sampling=ds, offset=args.offset,
+                upconverter=int(atofs(args.upconverter)))
+    except SourceError as e:
+        print(f"source error: {e}", file=sys.stderr)
+        return 1
+
+    stop = False
+
+    def push(u8):
+        lib.ingest_ring_push_u8(
+            ring, u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            u8.shape[0] // 2)
+
+    if not synthetic:
+        source.start(push)
+
+    try:
+        # align to the next 15-s boundary, discarding partial data
+        time.sleep(min(seconds_to_next_window(), 0.0 if synthetic else 15.0))
+        i8 = np.zeros(FULLRATE_WINDOW, dtype=np.int8)
+        q8 = np.zeros(FULLRATE_WINDOW, dtype=np.int8)
+        while not stop:
+            if synthetic:
+                push(source.read(FULLRATE_WINDOW))
+            else:
+                deadline = time.time() + SIGNAL_LENGTH_S + 2
+                while (lib.ingest_ring_available(ring) < FULLRATE_WINDOW
+                       and time.time() < deadline):
+                    time.sleep(0.1)
+            got = lib.ingest_ring_pop(
+                ring, i8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                q8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                FULLRATE_WINDOW)
+            if got < FULLRATE_WINDOW:
+                # missed deadline — skip/resync like the reference skips
+                # partial buffers (c:235-237)
+                print(f"short window ({got} samples), resyncing",
+                      file=sys.stderr)
+            proc.process_fullrate(i8[:got], q8[:got])
+            if args.maxloop and proc.windows_done >= args.maxloop:
+                stop = True
+    except KeyboardInterrupt:
+        pass
+    finally:
+        if not synthetic:
+            source.stop()
+        lib.ingest_ring_destroy(ring)
+    return 0

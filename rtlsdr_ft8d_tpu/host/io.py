@@ -74,6 +74,7 @@ def write_c2(path, i_samples, q_samples, dial_freq_hz, name=""):
 
 def read_wav(path):
     """Read a mono PCM16 wav -> (samples float32 in [-1, 1], sample_rate)."""
+    path = str(path)
     with wave.open(path, "rb") as w:
         assert w.getsampwidth() == 2, "PCM16 expected"
         rate = w.getframerate()

@@ -1,0 +1,168 @@
+"""Host layer: file I/O roundtrips, reporter frames, CLI, selftest, daemon."""
+
+import io as std_io
+from datetime import datetime, timezone
+
+import numpy as np
+import pytest
+
+from rtlsdr_ft8d_tpu.host.cli import atofs, build_parser, parse_frequency
+from rtlsdr_ft8d_tpu.host.io import (read_any, read_c2, read_iq,
+                                     timestamped_name, write_c2, write_iq)
+from rtlsdr_ft8d_tpu.host.reporter import (PskReporter, build_ipfix_frame_py,
+                                           print_spots)
+from rtlsdr_ft8d_tpu.host.selftest import run_selftest
+from rtlsdr_ft8d_tpu.host.synth import synthesize_message
+from rtlsdr_ft8d_tpu.pipeline import Decode, decode_window
+
+
+def test_iq_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    i = rng.standard_normal(1000).astype(np.float32)
+    q = rng.standard_normal(1000).astype(np.float32)
+    path = tmp_path / "x.iq"
+    write_iq(path, i, q)
+    # on-disk Q is negated (wsprsim convention)
+    raw = np.fromfile(path, dtype=np.float32)
+    np.testing.assert_array_equal(raw[1::2], -q)
+    i2, q2 = read_iq(path)
+    np.testing.assert_array_equal(i, i2)
+    np.testing.assert_array_equal(q, q2)
+
+
+def test_c2_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    i = rng.standard_normal(500).astype(np.float32)
+    q = rng.standard_normal(500).astype(np.float32)
+    path = tmp_path / "x.c2"
+    write_c2(path, i, q, 14_074_000, name="test")
+    i2, q2, freq = read_c2(path)
+    np.testing.assert_array_equal(i, i2)
+    np.testing.assert_array_equal(q, q2)
+    assert freq == 14_074_000
+
+
+def test_iq_file_decodes(tmp_path):
+    iq = synthesize_message("CQ K1JT FN20", f0_hz=531.25, noise_sigma=0.1)
+    path = tmp_path / "cap.iq"
+    write_iq(path, np.real(iq), np.imag(iq))
+    i, q, _ = read_any(path)
+    decodes = decode_window((i, q))
+    assert "CQ K1JT FN20" in {d.text for d in decodes}
+
+
+def test_wav_decodes(tmp_path):
+    """12 kHz mono PCM16 wav (ft8_lib test-file format) must decode."""
+    import wave
+    from rtlsdr_ft8d_tpu.protocol.constants import (BLOCK_SIZE,
+                                                    TONE_SPACING_HZ)
+    from rtlsdr_ft8d_tpu.protocol.encode import encode
+    from rtlsdr_ft8d_tpu.protocol.pack import pack77
+
+    rate = 12000
+    tones = encode(pack77("K1ABC W9XYZ EN37"))
+    f0 = 1000.0
+    sps = int(rate * BLOCK_SIZE / 3200)   # samples/symbol at 12 kHz
+    n = 15 * rate
+    x = np.zeros(n)
+    phi, idx = 0.0, int(0.5 * rate)
+    for tone in tones:
+        f = f0 + (float(tone) - 3.5) * TONE_SPACING_HZ
+        dphi = 2 * np.pi * f / rate
+        x[idx:idx + sps] = 0.5 * np.cos(phi + dphi * np.arange(sps))
+        phi = (phi + dphi * sps) % (2 * np.pi)
+        idx += sps
+    x += np.random.default_rng(0).normal(0, 0.05, n)
+    path = tmp_path / "cap.wav"
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes((np.clip(x, -1, 1) * 32000).astype(np.int16).tobytes())
+    i, q, _ = read_any(path)
+    decodes = decode_window((i, q))
+    assert "K1ABC W9XYZ EN37" in {d.text for d in decodes}
+
+
+def test_timestamped_name():
+    when = datetime(2026, 8, 16, 12, 34, 56, tzinfo=timezone.utc)
+    assert timestamped_name("capture", when) == \
+        "capture_2026-08-16_12-34-56.iq"
+
+
+def test_print_spots_format():
+    buf = std_io.StringIO()
+    when = datetime(2026, 8, 16, 12, 30, tzinfo=timezone.utc)
+    print_spots([], when, out=buf)
+    assert buf.getvalue() == "No spot 2026-08-16 12:30z\n"
+    buf = std_io.StringIO()
+    d = Decode(text="CQ K1JT FN20", freq_hz=1312.5, time_sec=0.0, score=23)
+    print_spots([d], when, dial_freq_hz=14_074_000, out=buf)
+    lines = buf.getvalue().splitlines()
+    assert lines[0].startswith("  Score     Freq")
+    assert "14075312" in lines[1] and "K1JT" in lines[1]
+
+
+def test_ipfix_python_vs_native():
+    spots = [("K1JT", "FN20", 14_074_500, -11, 1_700_000_000),
+             ("VA2GKA", "FN35", 14_074_800, -3, 1_700_000_000)]
+    py = build_ipfix_frame_py("TEST1", "AA00", spots, 1_700_000_000, 1,
+                              0x12345678)
+    assert py[0:2] == b"\x00\x0a"
+    assert int.from_bytes(py[2:4], "big") == len(py)
+    rep = PskReporter("TEST1", "AA00")
+    if rep._native is not None:
+        nat = rep.build_frame(spots, epoch=1_700_000_000)
+        # session ids differ; compare everything except bytes 12..16
+        assert nat[:12] == py[:12]
+        assert nat[16:] == py[16:]
+
+
+def test_cli_parsing():
+    p = build_parser()
+    args = p.parse_args(["-f", "20m", "-c", "K1JT", "-l", "FN20", "-g", "35",
+                         "-n", "2", "-x"])
+    assert args.frequency == ["20m"]
+    assert parse_frequency("20m", 0) == (14_074_000, 2)
+    assert parse_frequency("2m", 0) == (144_174_000, 0)
+    assert parse_frequency("14074k", 0)[0] == 14_074_000
+    assert atofs("125M") == 125e6
+    assert args.noreport
+
+
+def test_selftest_passes(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    assert run_selftest(verbose=False)
+    assert (tmp_path / "selftest.iq").exists()
+
+
+def test_daemon_synthetic_window():
+    """Full ingest chain: u8 2.4 Msps -> ring -> mixer -> decimate -> decode."""
+    from rtlsdr_ft8d_tpu import native
+    lib = native.load()
+    if lib is None:
+        pytest.skip("native lib unavailable")
+    import ctypes
+
+    from rtlsdr_ft8d_tpu.host.cli import build_parser
+    from rtlsdr_ft8d_tpu.host.daemon import FULLRATE_WINDOW, WindowProcessor
+    from rtlsdr_ft8d_tpu.host.sources import SyntheticSource
+
+    args = build_parser().parse_args(["-f", "20m", "-c", "T1ST", "-l",
+                                      "AA00", "-n", "1"])
+    proc = WindowProcessor(args, 14_074_000)
+    src = SyntheticSource(message="CQ K1JT FN20QI", baseband_hz=500.0)
+    ring = lib.ingest_ring_create(1 << 26)
+    u8 = src.read(FULLRATE_WINDOW)
+    lib.ingest_ring_push_u8(
+        ring, u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        FULLRATE_WINDOW)
+    i8 = np.zeros(FULLRATE_WINDOW, dtype=np.int8)
+    q8 = np.zeros(FULLRATE_WINDOW, dtype=np.int8)
+    got = lib.ingest_ring_pop(
+        ring, i8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        q8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), FULLRATE_WINDOW)
+    assert got == FULLRATE_WINDOW
+    decodes = proc.process_fullrate(i8, q8)
+    lib.ingest_ring_destroy(ring)
+    assert "CQ K1JT FN20" in {d.text for d in decodes}
