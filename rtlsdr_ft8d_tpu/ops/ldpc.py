@@ -99,9 +99,15 @@ def bp_decode(llr: jax.Array, max_iters: int = 20):
     var2check = jnp.asarray(_SEL_VAR2CHECK)
     edge_valid = jnp.asarray(_NM_VALID.reshape(-1))          # (581,)
 
-    tov0 = jnp.zeros((N, FT8_LDPC_N * 3), llr2.dtype)
-    best_err0 = jnp.full((N,), FT8_LDPC_M, jnp.int32)
-    best_hard0 = jnp.zeros((N, FT8_LDPC_N), jnp.int8)
+    # Derive the loop carry from the input so it inherits any shard_map
+    # varying-axis types (pvary) — plain constants would mismatch the body
+    # outputs when bp_decode runs inside a manual-sharding region.
+    zero = llr2[:, :1] * 0.0
+    tov0 = jnp.zeros((N, FT8_LDPC_N * 3), llr2.dtype) + zero
+    best_err0 = jnp.full((N,), FT8_LDPC_M, jnp.int32) \
+        + zero[:, 0].astype(jnp.int32)
+    best_hard0 = jnp.zeros((N, FT8_LDPC_N), jnp.int8) \
+        + zero.astype(jnp.int8)
 
     def body(_, state):
         tov, best_err, best_hard = state

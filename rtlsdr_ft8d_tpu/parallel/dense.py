@@ -1,0 +1,91 @@
+"""Pod-scale dense-band decode: global candidate budgeting via collectives.
+
+BASELINE.json config 5 ("1000+ channels, deep Costas time/freq oversampling
++ max LDPC iterations across N>=2 hosts"): when thousands of channels are
+sharded over a ('host','chip') mesh, the per-window LDPC budget should go to
+the globally strongest candidates, not a fixed per-channel quota. Inside
+shard_map each device scores its channels locally, the per-candidate score
+lists are all-gathered over the mesh (ICI within a slice, DCN across
+hosts), and a single global score threshold selects which candidates spend
+BP iterations — the distributed analogue of the reference's single-channel
+top-120 heap (rtlsdr_ft8d.c:1450).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.ldpc import bp_decode, crc_check
+from ..ops.llr import extract_llrs
+from ..ops.sync import find_sync
+from ..ops.waterfall import waterfall
+from ..protocol.constants import (FT8_LDPC_K, K_LDPC_ITERS,
+                                  K_MAX_CANDIDATES, K_MIN_SCORE)
+
+CHANNEL_AXIS = "ch"
+
+
+def make_grid_mesh(hosts: int, chips: int) -> Mesh:
+    """('host', 'chip') mesh — channels shard over both axes; collectives
+    ride ICI within a host row and DCN across hosts."""
+    devs = np.asarray(jax.devices()[:hosts * chips]).reshape(hosts, chips)
+    return Mesh(devs, ("host", "chip"))
+
+
+def decode_window_dense(i_samples, q_samples, mesh: Mesh,
+                        global_budget: int,
+                        num_candidates: int = K_MAX_CANDIDATES,
+                        ldpc_iters: int = K_LDPC_ITERS):
+    """Decode channels sharded over the mesh with a GLOBAL candidate budget.
+
+    Args:
+      i_samples, q_samples: (B, 48000) float32, B divisible by mesh size.
+      global_budget: total candidates across all channels that get LDPC
+        iterations this window (the rest are masked out).
+
+    Returns the per-channel dict of decode_window_device plus 'selected'
+    (B, K) bool — which candidates made the global cut.
+    """
+    axes = tuple(mesh.axis_names)
+    n_dev = int(np.prod([mesh.shape[a] for a in axes]))
+
+    def local(i_loc, q_loc):
+        wf = waterfall(i_loc, q_loc)
+        cand = find_sync(wf, num_candidates)
+        scores = cand["score"]                        # (b_loc, K)
+        flat = scores.reshape(-1)
+        # All-gather every device's candidate scores (small: K ints per
+        # channel), then one global threshold = global_budget-th score.
+        gathered = flat
+        for ax in axes:
+            gathered = jax.lax.all_gather(gathered, ax).reshape(-1)
+        k = min(global_budget, gathered.shape[0])
+        kth = jax.lax.top_k(gathered, k)[0][-1]
+        thresh = jnp.maximum(kth, K_MIN_SCORE)
+        selected = scores >= thresh                   # (b_loc, K)
+
+        llrs = extract_llrs(wf, cand)
+        llrs = jnp.where(selected[..., None], llrs, 0.0)
+        hard, errors = bp_decode(llrs, ldpc_iters)
+        errors = jnp.where(selected, errors, 83)
+        ok = (errors == 0) & crc_check(hard) & selected
+        return (hard[..., :FT8_LDPC_K].astype(jnp.int8),
+                errors.astype(jnp.int32), ok, selected,
+                scores.astype(jnp.int32),
+                cand["time_sub"].astype(jnp.int32),
+                cand["freq_sub"].astype(jnp.int32),
+                cand["time_offset"].astype(jnp.int32),
+                cand["freq_offset"].astype(jnp.int32))
+
+    spec = P(axes)   # shard channel axis over all mesh axes
+    fn = shard_map(local, mesh=mesh, in_specs=(spec, spec),
+                   out_specs=(spec,) * 9)
+    hard, errors, ok, selected, score, ts, fs, to, fo = fn(
+        jnp.asarray(i_samples), jnp.asarray(q_samples))
+    return {"hard": hard, "ldpc_errors": errors, "crc_ok": ok,
+            "selected": selected, "score": score, "time_sub": ts,
+            "freq_sub": fs, "time_offset": to, "freq_offset": fo}

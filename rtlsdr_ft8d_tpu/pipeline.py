@@ -111,6 +111,9 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
     return {
         "packed": packed,                                 # (B, 50, 12) uint8
         "n_ok": jnp.sum(ok.astype(jnp.int32), axis=-1),   # (B,)
+        "n_above_min": jnp.sum((cand["score"] >= K_MIN_SCORE)
+                               .astype(jnp.int32), axis=-1),
+        "n_ldpc_ok": jnp.sum((errors == 0).astype(jnp.int32), axis=-1),
         "ok": take(ok),
         "score": take(cand["score"]).astype(jnp.int32),
         "time_sub": take(cand["time_sub"]).astype(jnp.uint8),
@@ -122,7 +125,8 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
 
 def decode_window(iq, hashes: CallsignHashTable | None = None,
                   num_candidates: int = K_MAX_CANDIDATES,
-                  ldpc_iters: int = K_LDPC_ITERS):
+                  ldpc_iters: int = K_LDPC_ITERS,
+                  return_stats: bool = False):
     """Decode a batch of channels; returns list (per channel) of Decode lists.
 
     `iq` may be (48000,) or (B, 48000), complex or a (i, q) tuple of float32.
@@ -164,4 +168,15 @@ def decode_window(iq, hashes: CallsignHashTable | None = None,
                                   time_sec=float(time_sec),
                                   score=int(out["score"][b, k])))
         results.append(decodes)
+    if return_stats:
+        from .host.log import WindowStats
+        stats = WindowStats(
+            channels=i_s.shape[0],
+            candidates_scored=i_s.shape[0] * num_candidates,
+            candidates_above_min=int(np.sum(out["n_above_min"])),
+            ldpc_converged=int(np.sum(out["n_ldpc_ok"])),
+            crc_passed=int(np.sum(out["n_ok"])),
+            messages_unique=sum(len(r) for r in results),
+        )
+        return (results[0] if squeeze else results), stats
     return results[0] if squeeze else results
