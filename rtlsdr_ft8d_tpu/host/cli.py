@@ -100,6 +100,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-c2", metavar="FILE", help="also save .c2 format")
     p.add_argument("--channels", type=int, default=None,
                    help="decode batch size (defaults to number of -f args)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="run the daemon loop from a synthetic full-rate "
+                        "source (no hardware needed; for integration tests)")
+    p.add_argument("--stats", action="store_true",
+                   help="emit per-window JSON stats records to stderr")
+    p.add_argument("--compile-cache", metavar="DIR", nargs="?",
+                   const="", default=None,
+                   help="enable the persistent XLA compile cache "
+                        "(FFTW-wisdom analogue)")
     p.add_argument("--psk-host", default=None, help="PSKreporter host")
     p.add_argument("--psk-port", type=int, default=4739)
     p.add_argument("--version", action="version",
@@ -109,6 +118,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    from .log import setup_logging
+    setup_logging()
+
+    if args.compile_cache is not None:
+        from .cache import enable_compilation_cache
+        enable_compilation_cache(args.compile_cache or None)
 
     if args.selftest:
         from .selftest import run_selftest

@@ -87,7 +87,14 @@ class WindowProcessor:
         i_bb, q_bb = i_bb[:WINDOW], q_bb[:WINDOW]
         epoch = int(time.time()) - SIGNAL_LENGTH_S + 1
         when = datetime.fromtimestamp(epoch, timezone.utc)
-        decodes = decode_window((i_bb, q_bb), hashes=self.hashes)
+        t0 = time.time()
+        decodes, stats = decode_window((i_bb, q_bb), hashes=self.hashes,
+                                       return_stats=True)
+        if getattr(self.args, "stats", False):
+            from .log import logger
+            stats.epoch = epoch
+            stats.decode_ms = (time.time() - t0) * 1000.0
+            logger.info(stats.to_json())
         print_spots(decodes, when, self.dial_freq)
         if self.args.writefile:
             write_iq(timestamped_name(self.args.writefile, when), i_bb, q_bb)
