@@ -13,6 +13,7 @@ Prints exactly one JSON line.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -65,33 +66,37 @@ def main():
     best = min(times)
     windows_per_sec = B * DEPTH / best
 
-    # Pod-scale config: 1024 concurrent channels on one chip (the v5e-8
-    # target is 1000+ across 8 chips — this measures a full-pod load on ONE).
-    BIG = 1024
-    reps = BIG // B
-    i_big = jnp.tile(i_s, (reps, 1))
-    q_big = jnp.tile(q_s, (reps, 1))
-    out = decode_window_device(i_big, q_big)
-    np.asarray(out["n_ok"][0:1])
-    t0 = time.time()
-    for _ in range(3):
-        out = decode_window_device(i_big, q_big)
-        np.asarray(out["n_ok"][0:1])
-    big_wps = BIG * 3 / (time.time() - t0)
-
-    baseline = 1.0 / 0.018  # i7-5820K, 18 ms/window (README.md:157)
-    print(json.dumps({
+    result = {
         "metric": "windows_per_sec_per_chip",
         "value": round(windows_per_sec, 1),
         "unit": "15s-windows/s",
-        "vs_baseline": round(windows_per_sec / baseline, 1),
+        "vs_baseline": round(windows_per_sec / (1.0 / 0.018), 1),
+        # baseline: i7-5820K, 18 ms/window (reference README.md:157)
         "batch_channels": B,
         "pipeline_depth": DEPTH,
         "correctness": f"{n_ok}/{B} channels decoded",
         "realtime_channels_per_chip": int(windows_per_sec * 15),
-        "dense_1024ch_windows_per_sec": round(big_wps, 1),
-        "dense_1024ch_realtime_ok": bool(big_wps * 15 >= BIG),
-    }))
+    }
+
+    # Optional pod-scale config (BENCH_DENSE=1): 1024 concurrent channels on
+    # one chip. Off by default: the larger batch needs a fresh XLA compile
+    # that can take a long time through this sandbox's remote-compile relay.
+    if os.environ.get("BENCH_DENSE") == "1":
+        BIG = 1024
+        reps = BIG // B
+        i_big = jnp.tile(i_s, (reps, 1))
+        q_big = jnp.tile(q_s, (reps, 1))
+        out = decode_window_device(i_big, q_big)
+        np.asarray(out["n_ok"][0:1])
+        t0 = time.time()
+        for _ in range(3):
+            out = decode_window_device(i_big, q_big)
+            np.asarray(out["n_ok"][0:1])
+        big_wps = BIG * 3 / (time.time() - t0)
+        result["dense_1024ch_windows_per_sec"] = round(big_wps, 1)
+        result["dense_1024ch_realtime_ok"] = bool(big_wps * 15 >= BIG)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -100,6 +100,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-c2", metavar="FILE", help="also save .c2 format")
     p.add_argument("--channels", type=int, default=None,
                    help="decode batch size (defaults to number of -f args)")
+    p.add_argument("--wideband", action="store_true",
+                   help="decode ALL 750 3200-Hz channels of the 2.4 MHz "
+                        "capture via the polyphase filterbank channelizer "
+                        "instead of just the dial sub-band")
+    p.add_argument("--wideband-channels", type=str, default=None,
+                   help="comma-separated channel indices to decode in "
+                        "--wideband mode (default: all 750)")
     p.add_argument("--synthetic", action="store_true",
                    help="run the daemon loop from a synthetic full-rate "
                         "source (no hardware needed; for integration tests)")

@@ -58,13 +58,35 @@ def decode_file(args) -> int:
 
 
 class WindowProcessor:
-    """Drains the ingest ring, decimates, decodes, reports one window."""
+    """Drains the ingest ring, decimates (or channelizes), decodes,
+    reports one window."""
 
     def __init__(self, args, dial_freq_hz):
         self.args = args
         self.dial_freq = dial_freq_hz
         self.hashes = CallsignHashTable()
         self.decimator = StreamingDecimator()
+        self.wideband = getattr(args, "wideband", False)
+        if self.wideband:
+            from ..ops.channelize import StreamingChannelizer
+            self.channelizer = StreamingChannelizer()
+            from ..ops.channelize import NUM_CHANNELS
+            sel = getattr(args, "wideband_channels", None)
+            if sel:
+                try:
+                    chans = [int(c) for c in sel.split(",") if c.strip()]
+                except ValueError:
+                    raise SystemExit(
+                        f"--wideband-channels must be a comma-separated "
+                        f"list of integers, got {sel!r}")
+                bad = [c for c in chans if not 0 <= c < NUM_CHANNELS]
+                if bad or not chans:
+                    raise SystemExit(
+                        f"--wideband-channels out of range 0.."
+                        f"{NUM_CHANNELS - 1}: {bad or sel!r}")
+                self.wb_channels = chans
+            else:
+                self.wb_channels = list(range(NUM_CHANNELS))
         self.reporter = PskReporter(
             args.callsign, args.locator,
             enabled=args.report and not args.noreport,
@@ -75,10 +97,39 @@ class WindowProcessor:
     def process_fullrate(self, i8: np.ndarray, q8: np.ndarray):
         """One 15-s window of mixed int8 baseband at 2.4 Msps."""
         n = (i8.shape[0] // R) * R
-        i_bb, q_bb = self.decimator.process(
-            i8[:n].astype(np.float32) / 128.0,
-            q8[:n].astype(np.float32) / 128.0)
+        i_f = i8[:n].astype(np.float32) / 128.0
+        q_f = q8[:n].astype(np.float32) / 128.0
+        if self.wideband:
+            return self.process_wideband(i_f, q_f)
+        i_bb, q_bb = self.decimator.process(i_f, q_f)
         return self.process_baseband(i_bb, q_bb)
+
+    def process_wideband(self, i_f: np.ndarray, q_f: np.ndarray):
+        """Channelize the whole capture; decode every selected channel."""
+        from ..ops.channelize import channel_center_hz
+        i_ch, q_ch = self.channelizer.process(i_f, q_f)
+        sel = self.wb_channels
+        i_b = i_ch[sel]
+        q_b = q_ch[sel]
+        if i_b.shape[1] < WINDOW:
+            pad = WINDOW - i_b.shape[1]
+            i_b = np.pad(i_b, ((0, 0), (0, pad)))
+            q_b = np.pad(q_b, ((0, 0), (0, pad)))
+        i_b, q_b = i_b[:, :WINDOW], q_b[:, :WINDOW]
+        epoch = int(time.time()) - SIGNAL_LENGTH_S + 1
+        when = datetime.fromtimestamp(epoch, timezone.utc)
+        results = decode_window((i_b, q_b), hashes=self.hashes)
+        per_channel = []
+        for k, decodes in zip(sel, results):
+            for d in decodes:
+                d.freq_hz += channel_center_hz(k)
+            per_channel.append((k, decodes))
+        from ..ops.channelize import dedup_wideband
+        all_decodes = dedup_wideband(per_channel)
+        print_spots(all_decodes, when, self.dial_freq)
+        self.reporter.report(all_decodes, self.dial_freq, epoch)
+        self.windows_done += 1
+        return all_decodes
 
     def process_baseband(self, i_bb: np.ndarray, q_bb: np.ndarray):
         if i_bb.shape[0] < WINDOW:

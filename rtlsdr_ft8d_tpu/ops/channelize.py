@@ -1,24 +1,30 @@
-"""Polyphase filterbank channelizer: one 2.4 Msps capture -> 750 channels.
+"""Polyphase filterbank channelizer: one 2.4 Msps capture -> 1500 channels.
 
 The reference monitors ONE 3.2 kHz FT8 sub-band per dongle
 (/root/reference/rtlsdr_ft8d.c:1278 tunes a single dial frequency). The
 TPU-native scale story is the opposite: keep the WHOLE 2.4 MHz capture and
-split it into 750 critically-sampled 3200-sps channels with a polyphase
-analysis filterbank, then batch-decode every channel in one graph — this is
-how "1000+ concurrent channels" (BASELINE.json config 5) arises from real
+split it into decodable 3200-sps channels with a polyphase analysis
+filterbank, then batch-decode every channel in one graph — this is how
+"1000+ concurrent channels" (BASELINE.json config 5) arises from real
 hardware rather than 1000 dongles.
 
-Math: with the decimator's 750-phase prototype bank w (ops/decimate.py),
-  z[m, p] = sum_r w[r*750+p] * x[(m+r)*750 + p]        (8 taps per phase)
-  y[m, k] = sum_p z[m, p] * e^{+2pi i p k / 750}       (DFT across phases)
-Channel k is centered at k*3200 Hz (negative half maps to k >= 375); its
-output is complex baseband at 3200 sps, directly decodable by the standard
-pipeline. The DFT is two real matmuls against (750, 750) cos/sin bases —
-MXU work, no FFT, no complex dtypes.
-
-Limitations (documented, standard for critically-sampled PFBs): signals
-within the filter transition band of a channel edge straddle two channels;
-use the 2x-overlap configuration (channel_offset=0.5) to cover edges.
+Design points:
+  * The decoder's waterfall spans 0..1600 Hz of each channel (256 bins at
+    6.25 Hz, like the reference, rtlsdr_ft8d.h:51), so channels are placed
+    every 1600 Hz (2x-oversampled PFB, K = 1500 channels over 2.4 MHz) —
+    consecutive decode bands tile the spectrum with no gaps.
+  * The prototype is a SHARP 48000-tap Kaiser lowpass (64 taps/phase,
+    transition ~1500..1700 Hz, ~65 dB stopband): after decimation by 750
+    nothing outside a channel's own 3200 Hz aliases into its decode band
+    above -60 dB. (The reference's CIC+57-tap chain is far leakier.)
+  * Math: z[m, p] = sum_r w[r*750+p] x[(m+r)*750+p]  (64 taps per phase),
+    y[m, k] = sum_p z[m, p] e^{-2pi i p k / 1500},    (DFT across phases)
+    and odd channels (centers at odd multiples of 1600 Hz) get the
+    (-1)^m post-rotation required when channel spacing = fs_out/2.
+    The (750, 1500) DFT is two real matmuls — MXU work, no complex dtypes.
+  * Weak residual ghosts (a strong signal's stopband image decoding in an
+    otherwise-empty channel after per-channel normalization) are removed by
+    cross-channel text dedup keeping the strongest score (dedup_wideband).
 """
 
 import functools
@@ -28,59 +34,114 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..protocol.constants import CAPTURE_RATE, SIGNAL_SAMPLE_RATE
-from .decimate import HISTORY, PHASES, R, _polyphase_bank, filter_taps
+from .decimate import R, design_lowpass
 
-NUM_CHANNELS = R  # 750
+CHANNEL_STEP_HZ = 1600
+NUM_CHANNELS = CAPTURE_RATE // CHANNEL_STEP_HZ   # 1500
+WB_PHASES = 64
+WB_TAPS = WB_PHASES * R                          # 48000
+WB_HISTORY = WB_TAPS - R                         # 47250
+
+
+@functools.cache
+def wb_prototype() -> np.ndarray:
+    """Sharp channelizer prototype: cutoff 1600 Hz, 64 taps/phase."""
+    return design_lowpass(WB_TAPS, 1600.0, beta=7.0)
+
+
+@functools.cache
+def _wb_bank() -> np.ndarray:
+    """(750, 64) polyphase bank, time-reversed like the decimator's."""
+    h = wb_prototype()[::-1].copy()
+    return np.ascontiguousarray(h.reshape(WB_PHASES, R).T).astype(np.float32)
 
 
 @functools.cache
 def _dft_bases():
-    p, k = np.meshgrid(np.arange(R), np.arange(R), indexing="ij")
-    ang = 2.0 * np.pi * p * k / R
+    p, j = np.meshgrid(np.arange(R), np.arange(R), indexing="ij")
+    ang = 2.0 * np.pi * p * j / R
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
+@functools.cache
+def _half_twiddle():
+    p = np.arange(R)
+    ang = 2.0 * np.pi * p / NUM_CHANNELS          # e^{-j 2pi p / 1500}
     return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
 
 
 @jax.jit
 def channelize(i_full: jax.Array, q_full: jax.Array):
-    """Split a full-rate stream into 750 baseband channels.
+    """Split a full-rate stream into 1500 overlapped baseband channels.
+
+    2x-oversampled DFT filterbank (K = 1500 channels, decimation R = 750):
+    with y_k[m] = sum_n x[n] e^{-j2pi kn/K} h[mR-n], substituting
+    n = uR + p splits the twiddle into e^{-j2pi kp/K} (-1)^{ku}. Even
+    channels are a 750-point DFT of the polyphase outputs z; odd channels
+    use a SIGN-ALTERNATED bank (the (-1)^u lives inside the 64-tap filter
+    sum), a half-bin twiddle e^{-j2pi p/1500}, the same 750-point DFT, and
+    a (-1)^m output rotation.
 
     Args:
-      i_full, q_full: (n,) float32 at 2.4 Msps with n = HISTORY + 750*M
-        (prepend HISTORY zeros or carried state).
+      i_full, q_full: (n,) float32 at 2.4 Msps with n = WB_HISTORY + 750*M
+        (prepend WB_HISTORY zeros or carried state).
 
     Returns:
-      (i_ch, q_ch): (750, M) float32 — channel k at center k*3200 Hz
-      (k >= 375 are the negative frequencies), each at 3200 sps.
+      (i_ch, q_ch): (1500, M) float32 — channel k centered at k*1600 Hz
+      (k >= 750 are negative frequencies), each at 3200 sps.
     """
-    bank = jnp.asarray(_polyphase_bank())          # (750, 8), time-reversed
+    bank = jnp.asarray(_wb_bank())                 # (750, 64)
+    alt = jnp.asarray(
+        np.where(np.arange(WB_PHASES) % 2 == 0, 1.0, -1.0)
+        .astype(np.float32))
     n = i_full.shape[-1]
-    m = (n - HISTORY) // R
-    nf = m + PHASES - 1
+    m = (n - WB_HISTORY) // R
+    nf = m + WB_PHASES - 1                         # total frames = n // 750
 
-    def phase_filter(x):
-        fr = x.reshape(nf, R)                      # (m+7, 750) frames
+    def phase_filter(x, signs):
+        fr = x.reshape(nf, R)
         z = jnp.zeros((m, R), jnp.float32)
-        for r in range(PHASES):
-            z = z + fr[r:r + m, :] * bank[:, r][None, :]
+        for r in range(WB_PHASES):
+            z = z + fr[r:r + m, :] * (bank[:, r] * signs[r])[None, :]
         return z
 
-    zi = phase_filter(i_full)
-    zq = phase_filter(q_full)
+    ones = jnp.ones((WB_PHASES,), jnp.float32)
+    zi_e = phase_filter(i_full, ones)
+    zq_e = phase_filter(q_full, ones)
+    zi_o = phase_filter(i_full, alt)
+    zq_o = phase_filter(q_full, alt)
+
+    # odd path: multiply by e^{-j2pi p/1500} then (-1)^m on the output;
+    # (-1)^r from the bank already accounts for (-1)^{m} parity of u=m+r
+    ct, st = map(jnp.asarray, _half_twiddle())
+    zi_o, zq_o = zi_o * ct + zq_o * st, zq_o * ct - zi_o * st
+    sign_m = jnp.where(jnp.arange(m) % 2 == 0, 1.0, -1.0)[:, None]
+    zi_o = zi_o * sign_m
+    zq_o = zq_o * sign_m
+
     cos, sin = map(jnp.asarray, _dft_bases())
     kw = dict(precision=jax.lax.Precision.HIGHEST,
               preferred_element_type=jnp.float32)
-    # channel k = down-shift by k*3200 Hz: (zi + j zq) · e^{-j ang}
-    re = jnp.dot(zi, cos, **kw) + jnp.dot(zq, sin, **kw)
-    im = jnp.dot(zq, cos, **kw) - jnp.dot(zi, sin, **kw)
-    return re.T, im.T                              # (750, M)
+
+    def dft(zi, zq):
+        # down-shift DFT: (zi + j zq) · e^{-j ang} -> (m, 750)
+        re = jnp.dot(zi, cos, **kw) + jnp.dot(zq, sin, **kw)
+        im = jnp.dot(zq, cos, **kw) - jnp.dot(zi, sin, **kw)
+        return re.T, im.T                          # (750, m)
+
+    re_e, im_e = dft(zi_e, zq_e)                   # channels 0,2,4,...
+    re_o, im_o = dft(zi_o, zq_o)                   # channels 1,3,5,...
+    re = jnp.stack([re_e, re_o], axis=1).reshape(NUM_CHANNELS, m)
+    im = jnp.stack([im_e, im_o], axis=1).reshape(NUM_CHANNELS, m)
+    return re, im
 
 
 class StreamingChannelizer:
-    """Overlap-save streaming wrapper (same state carry as the decimator)."""
+    """Overlap-save streaming wrapper (WB_HISTORY-sample state carry)."""
 
     def __init__(self):
-        self._hist_i = np.zeros(HISTORY, np.float32)
-        self._hist_q = np.zeros(HISTORY, np.float32)
+        self._hist_i = np.zeros(WB_HISTORY, np.float32)
+        self._hist_q = np.zeros(WB_HISTORY, np.float32)
 
     def process(self, i_chunk, q_chunk):
         i_chunk = np.asarray(i_chunk, np.float32)
@@ -88,15 +149,32 @@ class StreamingChannelizer:
         assert i_chunk.shape[-1] % R == 0
         i_full = np.concatenate([self._hist_i, i_chunk])
         q_full = np.concatenate([self._hist_q, q_chunk])
-        self._hist_i = i_full[-HISTORY:].copy()
-        self._hist_q = q_full[-HISTORY:].copy()
+        self._hist_i = i_full[-WB_HISTORY:].copy()
+        self._hist_q = q_full[-WB_HISTORY:].copy()
         i_ch, q_ch = channelize(jnp.asarray(i_full), jnp.asarray(q_full))
         return np.asarray(i_ch), np.asarray(q_ch)
 
 
 def channel_center_hz(k: int) -> float:
     """Center frequency of channel k relative to the capture center."""
-    f = k * float(SIGNAL_SAMPLE_RATE)
+    f = k * float(CHANNEL_STEP_HZ)
     if f >= CAPTURE_RATE / 2:
         f -= CAPTURE_RATE
     return f
+
+
+def dedup_wideband(decodes_per_channel):
+    """Cross-channel dedup: same text in one window -> keep highest score.
+
+    Removes stopband ghosts (a strong signal's image decoding in an
+    otherwise-quiet channel at the same text). Input: iterable of
+    (channel_index, [Decode,...]); Decode.freq_hz must already be absolute
+    per channel. Returns a flat list sorted by frequency.
+    """
+    best = {}
+    for _k, decodes in decodes_per_channel:
+        for d in decodes:
+            cur = best.get(d.text)
+            if cur is None or d.score > cur.score:
+                best[d.text] = d
+    return sorted(best.values(), key=lambda d: d.freq_hz)

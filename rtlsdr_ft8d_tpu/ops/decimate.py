@@ -34,18 +34,26 @@ HISTORY = TAPS - R          # 5250 samples of carry-over state
 
 
 @functools.cache
-def filter_taps() -> np.ndarray:
-    """Kaiser-windowed sinc lowpass, cutoff at the 1600 Hz band edge.
-
-    Transition band 1600..3200 Hz so nothing aliases into the 0..1600 Hz
-    waterfall band; ~70 dB stopband with beta=7 at 6000 taps.
-    """
-    n = np.arange(TAPS) - (TAPS - 1) / 2.0
-    cutoff = 2400.0 / CAPTURE_RATE          # normalized (2400 Hz, mid-transition)
-    h = np.sinc(2 * cutoff * n) * 2 * cutoff
-    h *= np.kaiser(TAPS, 7.0)
-    h /= h.sum()                            # unity DC gain
+def design_lowpass(taps: int, cutoff_hz: float, beta: float = 7.0
+                   ) -> np.ndarray:
+    """Kaiser-windowed sinc lowpass prototype (unity DC gain)."""
+    n = np.arange(taps) - (taps - 1) / 2.0
+    c = cutoff_hz / CAPTURE_RATE
+    h = np.sinc(2 * c * n) * 2 * c
+    h *= np.kaiser(taps, beta)
+    h /= h.sum()
     return h.astype(np.float32)
+
+
+@functools.cache
+def filter_taps() -> np.ndarray:
+    """Default decimator prototype: cutoff mid-transition at 2400 Hz.
+
+    Transition band 1600..3200 Hz so nothing in the capture's own 0..1600 Hz
+    band is distorted; ~65 dB stopband with beta=7 at 6000 taps. (The sharp
+    wideband-channelizer prototype lives in ops/channelize.py.)
+    """
+    return design_lowpass(TAPS, 2400.0)
 
 
 @functools.cache

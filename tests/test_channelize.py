@@ -1,11 +1,14 @@
-"""PFB channelizer: tone placement and wideband multi-channel decode."""
+"""PFB channelizer: tone placement, odd-channel centering, wideband decode,
+ghost dedup, streaming state carry."""
 
 import numpy as np
 import jax.numpy as jnp
 
-from rtlsdr_ft8d_tpu.ops.channelize import (StreamingChannelizer,
-                                            channel_center_hz, channelize)
-from rtlsdr_ft8d_tpu.ops.decimate import HISTORY, R
+from rtlsdr_ft8d_tpu.ops.channelize import (CHANNEL_STEP_HZ, NUM_CHANNELS,
+                                            StreamingChannelizer, WB_HISTORY,
+                                            channel_center_hz, channelize,
+                                            dedup_wideband)
+from rtlsdr_ft8d_tpu.ops.decimate import R
 from rtlsdr_ft8d_tpu.pipeline import decode_window
 from rtlsdr_ft8d_tpu.protocol.constants import (BLOCK_SIZE, CAPTURE_RATE,
                                                 DOWNSAMPLING,
@@ -19,36 +22,59 @@ def _tone(freq_hz, n, amp=1.0):
     return (amp * np.exp(2j * np.pi * freq_hz * t)).astype(np.complex64)
 
 
-def test_tone_lands_in_channel():
-    m = 3200  # one second of output
-    n = HISTORY + m * R
-    x = _tone(5 * 3200 + 300.0, n)
+def _channelize_np(x):
     i_ch, q_ch = channelize(jnp.asarray(np.real(x)), jnp.asarray(np.imag(x)))
-    i_ch, q_ch = np.asarray(i_ch), np.asarray(q_ch)
+    return np.asarray(i_ch), np.asarray(q_ch)
+
+
+def test_tone_lands_in_even_channel():
+    m = 3200
+    n = WB_HISTORY + m * R
+    # 16.3 kHz -> channel 10 (center 16 kHz) at +300 and, by the designed
+    # 2x overlap, channel 11 (17.6 kHz) at -1300
+    i_ch, q_ch = _channelize_np(_tone(16300.0, n))
     power = (i_ch ** 2 + q_ch ** 2).mean(axis=1)
-    k = int(np.argmax(power))
-    assert k == 5, k
-    # offset within the channel must be ~300 Hz
-    z = i_ch[5] + 1j * q_ch[5]
-    spec = np.abs(np.fft.fft(z))
+    assert power[10] > 0.9 and power[11] > 0.9
+    z = i_ch[10] + 1j * q_ch[10]
     f = np.fft.fftfreq(z.shape[0], 1.0 / 3200)
-    assert abs(f[int(np.argmax(spec))] - 300.0) < 5
+    assert abs(f[int(np.argmax(np.abs(np.fft.fft(z))))] - 300.0) < 5
+
+
+def test_tone_lands_in_odd_channel_centered():
+    m = 3200
+    n = WB_HISTORY + m * R
+    # 8.5 kHz -> odd channel 5 (center 8 kHz), offset +500
+    i_ch, q_ch = _channelize_np(_tone(8500.0, n))
+    power = (i_ch ** 2 + q_ch ** 2).mean(axis=1)
+    assert power[5] > 0.9
+    z = i_ch[5] + 1j * q_ch[5]
+    f = np.fft.fftfreq(z.shape[0], 1.0 / 3200)
+    assert abs(f[int(np.argmax(np.abs(np.fft.fft(z))))] - 500.0) < 5
+
+
+def test_stopband_isolation():
+    """A strong tone must be >55 dB down two channels away."""
+    m = 3200
+    n = WB_HISTORY + m * R
+    i_ch, q_ch = _channelize_np(_tone(16300.0, n))
+    power = (i_ch ** 2 + q_ch ** 2).mean(axis=1)
+    assert power[13] / power[10] < 10 ** (-5.5)   # >55 dB
+    assert power[7] / power[10] < 10 ** (-5.5)
 
 
 def test_channel_center_hz():
     assert channel_center_hz(0) == 0
-    assert channel_center_hz(5) == 16000
-    assert channel_center_hz(749) == -3200
+    assert channel_center_hz(10) == 16000
+    assert channel_center_hz(NUM_CHANNELS - 1) == -CHANNEL_STEP_HZ
 
 
-def _wideband_ft8(message, channel, offset_hz, n, amp=0.3, rng=None):
+def _wideband_ft8(message, abs_freq_hz, n, amp=0.3):
     tones = encode(pack77(message))
     sps = BLOCK_SIZE * DOWNSAMPLING
     x = np.zeros(n, dtype=np.complex64)
-    phi, idx = 0.0, HISTORY  # start after the filter history
+    phi, idx = 0.0, WB_HISTORY
     for tone in tones:
-        f = channel * 3200.0 + offset_hz + (float(tone) - 3.5) \
-            * TONE_SPACING_HZ
+        f = abs_freq_hz + (float(tone) - 3.5) * TONE_SPACING_HZ
         dphi = 2 * np.pi * f / CAPTURE_RATE
         end = min(idx + sps, n)
         ph = phi + dphi * np.arange(end - idx)
@@ -58,23 +84,31 @@ def _wideband_ft8(message, channel, offset_hz, n, amp=0.3, rng=None):
     return x
 
 
-def test_wideband_two_channels_decode():
-    """Two FT8 signals in different 3200-Hz channels of one capture."""
+def test_wideband_decode_and_ghost_dedup():
+    """Signals in two channels; ghosts elsewhere are removed by dedup."""
     m = 48000
-    n = HISTORY + m * R
+    n = WB_HISTORY + m * R
     rng = np.random.default_rng(0)
-    x = (_wideband_ft8("CQ K1JT FN20", 17, 500.0, n)
-         + _wideband_ft8("K1ABC W9XYZ EN37", 42, 900.0, n))
-    x += 0.005 * (rng.standard_normal(n)
+    # ch 17 (center 27.2 kHz) offset 500; ch 42 (67.2 kHz) offset 900
+    x = (_wideband_ft8("CQ K1JT FN20", 17 * 1600 + 500.0, n)
+         + _wideband_ft8("K1ABC W9XYZ EN37", 42 * 1600 + 900.0, n))
+    x += 0.002 * (rng.standard_normal(n)
                   + 1j * rng.standard_normal(n)).astype(np.complex64)
-    i_ch, q_ch = channelize(jnp.asarray(np.real(x)), jnp.asarray(np.imag(x)))
-    i_ch, q_ch = np.asarray(i_ch), np.asarray(q_ch)
-    res = decode_window((np.stack([i_ch[17], i_ch[42]]),
-                         np.stack([q_ch[17], q_ch[42]])))
-    assert "CQ K1JT FN20" in {d.text for d in res[0]}
-    assert "K1ABC W9XYZ EN37" in {d.text for d in res[1]}
-    d = [d for d in res[0] if d.text == "CQ K1JT FN20"][0]
-    assert abs(d.freq_hz - (500.0 - 3.5 * TONE_SPACING_HZ)) < 7
+    i_ch, q_ch = _channelize_np(x)
+    sel = [15, 16, 17, 18, 41, 42, 43]
+    res = decode_window((i_ch[sel], q_ch[sel]))
+    per_channel = []
+    for k, decodes in zip(sel, res):
+        for d in decodes:
+            d.freq_hz += channel_center_hz(k)
+        per_channel.append((k, decodes))
+    final = dedup_wideband(per_channel)
+    texts = [d.text for d in final]
+    assert texts.count("CQ K1JT FN20") == 1
+    assert texts.count("K1ABC W9XYZ EN37") == 1
+    d = [d for d in final if d.text == "CQ K1JT FN20"][0]
+    assert abs(d.freq_hz - (17 * 1600 + 500.0
+                            - 3.5 * TONE_SPACING_HZ)) < 7
 
 
 def test_streaming_channelizer_matches_oneshot():
@@ -82,15 +116,15 @@ def test_streaming_channelizer_matches_oneshot():
     x = (np.random.default_rng(1).standard_normal(m * R)
          .astype(np.float32))
     q = np.zeros_like(x)
-    ref_i, ref_q = channelize(
-        jnp.asarray(np.concatenate([np.zeros(HISTORY, np.float32), x])),
-        jnp.asarray(np.concatenate([np.zeros(HISTORY, np.float32), q])))
+    ref_i, _ = channelize(
+        jnp.asarray(np.concatenate([np.zeros(WB_HISTORY, np.float32), x])),
+        jnp.asarray(np.concatenate([np.zeros(WB_HISTORY, np.float32), q])))
     sc = StreamingChannelizer()
-    out_i, out_q = [], []
+    out_i = []
     pos = 0
     for chunk in (24, 40):
-        oi, oq = sc.process(x[pos:pos + chunk * R], q[pos:pos + chunk * R])
-        out_i.append(oi); out_q.append(oq)
+        oi, _ = sc.process(x[pos:pos + chunk * R], q[pos:pos + chunk * R])
+        out_i.append(oi)
         pos += chunk * R
     got_i = np.concatenate(out_i, axis=1)
     np.testing.assert_allclose(got_i, np.asarray(ref_i), rtol=1e-4,
