@@ -44,10 +44,12 @@ def print_spots(decodes, when, dial_freq_hz=0, out=None):
     if not decodes:
         print(f"No spot {stamp}", file=out)
         return
-    print("  Score     Freq       Call    Loc  Message", file=out)
+    print("  Score    SNR     Freq    DT       Call    Loc  Message",
+          file=out)
     for d in decodes:
-        print(f"     {d.score:2d} {int(d.freq_hz) + dial_freq_hz:8d} "
-              f"{d.call:>10s} {d.loc:>6s}  {d.text}", file=out)
+        print(f"     {d.score:2d} {d.snr_db:+5.1f} {int(d.freq_hz) + dial_freq_hz:8d} "
+              f"{d.time_sec:+5.2f} {d.call:>10s} {d.loc:>6s}  {d.text}",
+              file=out)
 
 
 def _varstr(s: str) -> bytes:

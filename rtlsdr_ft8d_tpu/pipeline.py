@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ops.ldpc import bp_decode, crc_check
-from .ops.llr import extract_llrs
+from .ops.llr import estimate_snr, extract_llrs
 from .ops.sync import find_sync
 from .ops.waterfall import waterfall
 from .protocol.constants import (FT8_LDPC_K, K_LDPC_ITERS, K_MAX_CANDIDATES,
@@ -116,6 +116,9 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
         "n_ldpc_ok": jnp.sum((errors == 0).astype(jnp.int32), axis=-1),
         "ok": take(ok),
         "score": take(cand["score"]).astype(jnp.int32),
+        "snr_db": jnp.take_along_axis(
+            jnp.round(estimate_snr(wf, cand) * 2.0).astype(jnp.int32) / 2.0,
+            order, axis=-1),
         "time_sub": take(cand["time_sub"]).astype(jnp.uint8),
         "freq_sub": take(cand["freq_sub"]).astype(jnp.uint8),
         "time_offset": take(cand["time_offset"]).astype(jnp.int8),
@@ -166,7 +169,8 @@ def decode_window(iq, hashes: CallsignHashTable | None = None,
                         + out["time_sub"][b, k] / 2.0) * 0.16
             decodes.append(Decode(text=text, freq_hz=float(freq_hz),
                                   time_sec=float(time_sec),
-                                  score=int(out["score"][b, k])))
+                                  score=int(out["score"][b, k]),
+                                  snr_db=float(out["snr_db"][b, k])))
         results.append(decodes)
     if return_stats:
         from .host.log import WindowStats

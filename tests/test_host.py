@@ -99,7 +99,7 @@ def test_print_spots_format():
     d = Decode(text="CQ K1JT FN20", freq_hz=1312.5, time_sec=0.0, score=23)
     print_spots([d], when, dial_freq_hz=14_074_000, out=buf)
     lines = buf.getvalue().splitlines()
-    assert lines[0].startswith("  Score     Freq")
+    assert lines[0].startswith("  Score    SNR")
     assert "14075312" in lines[1] and "K1JT" in lines[1]
 
 
