@@ -149,6 +149,9 @@ class WindowProcessor:
         print_spots(decodes, when, self.dial_freq)
         if self.args.writefile:
             write_iq(timestamped_name(self.args.writefile, when), i_bb, q_bb)
+        if getattr(self.args, "save_c2", None):
+            from .io import write_c2
+            write_c2(self.args.save_c2, i_bb, q_bb, self.dial_freq)
         self.reporter.report(decodes, self.dial_freq, epoch)
         self.windows_done += 1
         return decodes
