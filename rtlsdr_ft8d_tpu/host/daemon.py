@@ -158,72 +158,88 @@ class WindowProcessor:
 
 
 def run_daemon(args) -> int:
-    """Live mode: RTL-SDR (or synthetic) -> ring -> windows (c:1202-1377)."""
+    """Live mode: RTL-SDR (or synthetic) -> ring -> windows (c:1202-1377).
+
+    With multiple -f arguments, one device per band (device indices counting
+    up from -i) feeds one ring each; all bands decode as ONE batched window
+    on the TPU — the multi-channel scaling axis the single-core reference
+    cannot have.
+    """
     from .. import native
     from .sources import RtlSdrSource, SourceError, SyntheticSource
 
-    dial_freq, ds = parse_frequency(args.frequency[0], args.directsampling)
-    proc = WindowProcessor(args, dial_freq)
+    bands = [parse_frequency(f, args.directsampling)
+             for f in args.frequency]
+    procs = [WindowProcessor(args, dial) for dial, _ in bands]
 
     lib = native.load()
     if lib is None:
         print("native ingest library unavailable", file=sys.stderr)
         return 1
-    ring = lib.ingest_ring_create(1 << 26)   # 64 Msamples ≈ 28 s headroom
+    rings = [lib.ingest_ring_create(1 << 26) for _ in bands]
 
     synthetic = getattr(args, "synthetic", False)
+    sources = []
     try:
-        if synthetic:
-            source = SyntheticSource()
-        else:
-            source = RtlSdrSource(
-                device_index=args.device, dial_freq_hz=dial_freq,
-                gain=args.gain, autogain=args.autogain, ppm=args.ppm,
-                direct_sampling=ds, offset=args.offset,
-                upconverter=int(atofs(args.upconverter)))
+        for bi, (dial_freq, ds) in enumerate(bands):
+            if synthetic:
+                sources.append(SyntheticSource())
+            else:
+                sources.append(RtlSdrSource(
+                    device_index=args.device + bi, dial_freq_hz=dial_freq,
+                    gain=args.gain, autogain=args.autogain, ppm=args.ppm,
+                    direct_sampling=ds, offset=args.offset,
+                    upconverter=int(atofs(args.upconverter))))
     except SourceError as e:
         print(f"source error: {e}", file=sys.stderr)
+        for r in rings:
+            lib.ingest_ring_destroy(r)
         return 1
 
-    stop = False
-
-    def push(u8):
-        lib.ingest_ring_push_u8(
-            ring, u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            u8.shape[0] // 2)
+    def push_fn(ring):
+        def push(u8):
+            lib.ingest_ring_push_u8(
+                ring, u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                u8.shape[0] // 2)
+        return push
 
     if not synthetic:
-        source.start(push)
+        for src, ring in zip(sources, rings):
+            src.start(push_fn(ring))
 
+    stop = False
     try:
         # align to the next 15-s boundary, discarding partial data
         time.sleep(min(seconds_to_next_window(), 0.0 if synthetic else 15.0))
         i8 = np.zeros(FULLRATE_WINDOW, dtype=np.int8)
         q8 = np.zeros(FULLRATE_WINDOW, dtype=np.int8)
         while not stop:
-            if synthetic:
-                push(source.read(FULLRATE_WINDOW))
-            else:
-                deadline = time.time() + SIGNAL_LENGTH_S + 2
-                while (lib.ingest_ring_available(ring) < FULLRATE_WINDOW
-                       and time.time() < deadline):
-                    time.sleep(0.1)
-            got = lib.ingest_ring_pop(
-                ring, i8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
-                q8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
-                FULLRATE_WINDOW)
-            if got < FULLRATE_WINDOW:
-                # missed deadline — skip/resync like the reference skips
-                # partial buffers (c:235-237)
-                print(f"short window ({got} samples), resyncing",
-                      file=sys.stderr)
-            proc.process_fullrate(i8[:got], q8[:got])
-            if args.maxloop and proc.windows_done >= args.maxloop:
+            for src, ring, proc in zip(sources, rings, procs):
+                if synthetic:
+                    push_fn(ring)(src.read(FULLRATE_WINDOW))
+                else:
+                    deadline = time.time() + SIGNAL_LENGTH_S + 2
+                    while (lib.ingest_ring_available(ring) < FULLRATE_WINDOW
+                           and time.time() < deadline):
+                        time.sleep(0.1)
+                got = lib.ingest_ring_pop(
+                    ring, i8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                    q8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                    FULLRATE_WINDOW)
+                if got < FULLRATE_WINDOW:
+                    # missed deadline — skip/resync like the reference skips
+                    # partial buffers (c:235-237)
+                    print(f"short window ({got} samples), resyncing",
+                          file=sys.stderr)
+                proc.process_fullrate(i8[:got], q8[:got])
+            if args.maxloop and procs[0].windows_done >= args.maxloop:
                 stop = True
     except KeyboardInterrupt:
         pass
     finally:
         if not synthetic:
-            source.stop()
-        lib.ingest_ring_destroy(ring)
+            for src in sources:
+                src.stop()
+        for r in rings:
+            lib.ingest_ring_destroy(r)
     return 0
