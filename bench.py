@@ -13,7 +13,6 @@ Prints exactly one JSON line.
 """
 
 import json
-import os
 import sys
 import time
 
