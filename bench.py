@@ -25,6 +25,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    try:
+        from rtlsdr_ft8d_tpu.host.cache import enable_compilation_cache
+        enable_compilation_cache()
+    except Exception:
+        pass
+
     from rtlsdr_ft8d_tpu.host.synth import synthesize_message
     from rtlsdr_ft8d_tpu.pipeline import decode_window, decode_window_device
 
