@@ -107,6 +107,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wideband-channels", type=str, default=None,
                    help="comma-separated channel indices to decode in "
                         "--wideband mode (default: all 750)")
+    p.add_argument("--multipass", type=int, default=1, metavar="N",
+                   help="decode passes with signal subtraction between "
+                        "passes (WSJT-X-style; default 1 = single pass)")
     p.add_argument("--synthetic", action="store_true",
                    help="run the daemon loop from a synthetic full-rate "
                         "source (no hardware needed; for integration tests)")

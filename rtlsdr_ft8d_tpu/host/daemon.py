@@ -50,7 +50,8 @@ def decode_file(args) -> int:
     total = 0
     for w in range(max(1, n_windows)):
         sl = slice(w * WINDOW, (w + 1) * WINDOW)
-        decodes = decode_window((i_s[sl], q_s[sl]), hashes=hashes)
+        decodes = decode_window((i_s[sl], q_s[sl]), hashes=hashes,
+                                passes=getattr(args, "multipass", 1))
         when = datetime.now(timezone.utc)
         print_spots(decodes, when, dial_freq)
         total += len(decodes)
@@ -139,8 +140,9 @@ class WindowProcessor:
         epoch = int(time.time()) - SIGNAL_LENGTH_S + 1
         when = datetime.fromtimestamp(epoch, timezone.utc)
         t0 = time.time()
-        decodes, stats = decode_window((i_bb, q_bb), hashes=self.hashes,
-                                       return_stats=True)
+        decodes, stats = decode_window(
+            (i_bb, q_bb), hashes=self.hashes, return_stats=True,
+            passes=getattr(self.args, "multipass", 1))
         if getattr(self.args, "stats", False):
             from .log import logger
             stats.epoch = epoch

@@ -126,33 +126,17 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
     }
 
 
-def decode_window(iq, hashes: CallsignHashTable | None = None,
-                  num_candidates: int = K_MAX_CANDIDATES,
-                  ldpc_iters: int = K_LDPC_ITERS,
-                  return_stats: bool = False):
-    """Decode a batch of channels; returns list (per channel) of Decode lists.
-
-    `iq` may be (48000,) or (B, 48000), complex or a (i, q) tuple of float32.
-    """
-    if isinstance(iq, tuple):
-        i_s, q_s = (np.asarray(iq[0], np.float32), np.asarray(iq[1],
-                                                              np.float32))
-    else:
-        iq = np.asarray(iq)
-        i_s = np.real(iq).astype(np.float32)
-        q_s = np.imag(iq).astype(np.float32)
-    if i_s.ndim == 1:
-        i_s, q_s = i_s[None], q_s[None]
-        squeeze = True
-    else:
-        squeeze = False
+def _decode_pass(i_s, q_s, hashes, num_candidates, ldpc_iters):
+    """One device pass + host unpack. Returns (per-channel decode lists,
+    per-channel subtraction params, raw out dict)."""
     out = jax.device_get(decode_window_device(
         jnp.asarray(i_s), jnp.asarray(q_s), num_candidates, ldpc_iters))
-
     results = []
+    sub_params = []
     for b in range(i_s.shape[0]):
         seen = {}
         decodes = []
+        params = []
         ok_idx = np.nonzero(out["ok"][b])[0]
         for k in ok_idx:
             bits = np.unpackbits(out["packed"][b, k])
@@ -171,7 +155,76 @@ def decode_window(iq, hashes: CallsignHashTable | None = None,
                                   time_sec=float(time_sec),
                                   score=int(out["score"][b, k]),
                                   snr_db=float(out["snr_db"][b, k])))
+            params.append((bits[:91],
+                           int(out["freq_offset"][b, k]) * 2
+                           + int(out["freq_sub"][b, k]),
+                           int(out["time_offset"][b, k]) * 2
+                           + int(out["time_sub"][b, k])))
         results.append(decodes)
+        sub_params.append(params)
+    return results, sub_params, out
+
+
+def decode_window(iq, hashes: CallsignHashTable | None = None,
+                  num_candidates: int = K_MAX_CANDIDATES,
+                  ldpc_iters: int = K_LDPC_ITERS,
+                  return_stats: bool = False,
+                  passes: int = 1):
+    """Decode a batch of channels; returns list (per channel) of Decode lists.
+
+    `iq` may be (48000,) or (B, 48000), complex or a (i, q) tuple of float32.
+    """
+    if isinstance(iq, tuple):
+        i_s, q_s = (np.asarray(iq[0], np.float32), np.asarray(iq[1],
+                                                              np.float32))
+    else:
+        iq = np.asarray(iq)
+        i_s = np.real(iq).astype(np.float32)
+        q_s = np.imag(iq).astype(np.float32)
+    if i_s.ndim == 1:
+        i_s, q_s = i_s[None], q_s[None]
+        squeeze = True
+    else:
+        squeeze = False
+
+    results, sub_params, out = _decode_pass(i_s, q_s, hashes,
+                                            num_candidates, ldpc_iters)
+
+    # Multi-pass: subtract every decoded signal and decode the residual
+    # (WSJT-X-style; neither the reference nor ft8_lib has this).
+    for _ in range(passes - 1):
+        if not any(sub_params):
+            break
+        from .ops.subtract import subtract_signals
+        from .protocol.encode import codeword_to_tones, ldpc_encode
+        B = i_s.shape[0]
+        MAXM = 16
+        tones = np.zeros((B, MAXM, 79), np.int32)
+        fbin2 = np.zeros((B, MAXM), np.int32)
+        start2 = np.zeros((B, MAXM), np.int32)
+        valid = np.zeros((B, MAXM), bool)
+        for b, params in enumerate(sub_params):
+            for m, (bits91, fb2, st2) in enumerate(params[:MAXM]):
+                tones[b, m] = codeword_to_tones(ldpc_encode(bits91))
+                fbin2[b, m] = fb2
+                start2[b, m] = st2
+                valid[b, m] = True
+        i_r, q_r = subtract_signals(
+            jnp.asarray(np.ascontiguousarray(i_s, np.float32)),
+            jnp.asarray(np.ascontiguousarray(q_s, np.float32)),
+            jnp.asarray(tones), jnp.asarray(fbin2), jnp.asarray(start2),
+            jnp.asarray(valid), MAXM)
+        i_s = np.asarray(i_r)
+        q_s = np.asarray(q_r)
+        res2, sub_params, _ = _decode_pass(i_s, q_s, hashes,
+                                           num_candidates, ldpc_iters)
+        for b in range(B):
+            known = {d.text for d in results[b]}
+            new = [d for d in res2[b] if d.text not in known]
+            results[b].extend(new)
+            # only subtract the NEW signals on the next pass
+            sub_params[b] = [p for p, d in zip(sub_params[b], res2[b])
+                             if d.text not in known]
     if return_stats:
         from .host.log import WindowStats
         stats = WindowStats(
