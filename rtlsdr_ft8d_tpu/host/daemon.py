@@ -119,7 +119,8 @@ class WindowProcessor:
         i_b, q_b = i_b[:, :WINDOW], q_b[:, :WINDOW]
         epoch = int(time.time()) - SIGNAL_LENGTH_S + 1
         when = datetime.fromtimestamp(epoch, timezone.utc)
-        results = decode_window((i_b, q_b), hashes=self.hashes)
+        results = decode_window((i_b, q_b), hashes=self.hashes,
+                                passes=getattr(self.args, "multipass", 1))
         per_channel = []
         for k, decodes in zip(sel, results):
             for d in decodes:

@@ -186,10 +186,81 @@ def _try_pack_nonstd(tokens):
     return np.array(bits, dtype=np.uint8)
 
 
+def _try_pack_dxpedition(text: str, tokens):
+    """Type 0.1: 'TO RR73; DE <HASH> +NN' -> c28 c28 h10 r5."""
+    from .text import hash_callsign
+    if "RR73;" not in tokens or len(tokens) != 5:
+        return None
+    if tokens[1] != "RR73;":
+        return None
+    ca, cb, hcall, rpt = tokens[0], tokens[2], tokens[3], tokens[4]
+    if not (hcall.startswith("<") and hcall.endswith(">")):
+        return None
+    if not (rpt and rpt[0] in "+-" and rpt[1:].isdigit()):
+        return None
+    report = int(rpt)
+    if not -30 <= report <= 32 or report % 2:
+        return None
+    if not (normalize_standard(ca) and normalize_standard(cb)):
+        return None
+    try:
+        n28a = pack_callsign_28(ca)
+        n28b = pack_callsign_28(cb)
+    except PackError:
+        return None
+    h10 = hash_callsign(hcall[1:-1], 10)
+    bits = (_bits_from_int(n28a, 28) + _bits_from_int(n28b, 28)
+            + _bits_from_int(h10, 10)
+            + _bits_from_int((report + 30) // 2, 5)
+            + _bits_from_int(1, 3) + _bits_from_int(0, 3))
+    return np.array(bits, dtype=np.uint8)
+
+
+def _try_pack_rtty(tokens):
+    """Type 3: '[TU;] A B [R] 5N9 NNNN' -> t1 c28 c28 R1 r3 s13."""
+    toks = list(tokens)
+    tu = 0
+    if toks and toks[0] == "TU;":
+        tu = 1
+        toks = toks[1:]
+    if len(toks) < 4:
+        return None
+    serial = toks[-1]
+    rpt = toks[-2]
+    ir = 0
+    rest = toks[:-2]
+    if rest and rest[-1] == "R":
+        ir = 1
+        rest = rest[:-1]
+    if len(rest) != 2 or not serial.isdigit() or int(serial) >= 8000:
+        return None
+    if not (len(rpt) == 3 and rpt[0] == "5" and rpt[2] == "9"
+            and rpt[1].isdigit() and 2 <= int(rpt[1]) <= 9):
+        return None
+    # only standard calls (a free-text message must not be captured here)
+    if not all(normalize_standard(c) or c in ("CQ",) for c in rest):
+        return None
+    try:
+        n28a = pack_callsign_28(rest[0])
+        n28b = pack_callsign_28(rest[1])
+    except PackError:
+        return None
+    bits = ([tu] + _bits_from_int(n28a, 28) + _bits_from_int(n28b, 28)
+            + [ir] + _bits_from_int(int(rpt[1]) - 2, 3)
+            + _bits_from_int(int(serial), 13) + _bits_from_int(3, 3))
+    return np.array(bits, dtype=np.uint8)
+
+
 def pack77(text: str) -> np.ndarray:
     """Pack message text into 77 payload bits; raises PackError on failure."""
     text = " ".join(text.strip().upper().split())
     tokens = text.split(" ")
+    out = _try_pack_dxpedition(text, tokens)
+    if out is not None:
+        return out
+    out = _try_pack_rtty(tokens)
+    if out is not None:
+        return out
     nonstd = [t for t in tokens if _is_nonstd_call(t)]
     if nonstd:
         out = _try_pack_nonstd(tokens)

@@ -129,6 +129,17 @@ def unpack77(payload_bits: np.ndarray,
         n3 = _int_from_bits(bits[71:74])
         if n3 == 0:
             return _unpack_free_text(bits[0:71])
+        if n3 == 1:
+            # DXpedition: c28 c28 h10 r5 -> "TO RR73; DE <HASH> +NN"
+            n28a = _int_from_bits(bits[0:28])
+            n28b = _int_from_bits(bits[28:56])
+            h10 = _int_from_bits(bits[56:66])
+            r5 = _int_from_bits(bits[66:71])
+            ca = unpack_callsign_28(n28a, 0, 1, hashes)
+            cb = unpack_callsign_28(n28b, 0, 1, hashes)
+            other = hashes.lookup(h10, 10) if hashes else None
+            other_s = f"<{other}>" if other else "<...>"
+            return f"{ca} RR73; {cb} {other_s} {2 * r5 - 30:+03d}"
         if n3 == 5:
             v = _int_from_bits(bits[0:71])
             return f"{v:018X}"
@@ -150,7 +161,7 @@ def unpack77(payload_bits: np.ndarray,
             msg += f" {field3}"
         return msg
     if i3 == 3:
-        # t1 c28 c28 R1 r3 s13
+        # RTTY Roundup: t1 c28 c28 R1 r3 s13 -> "TU; A B R 579 0123"
         tu = int(bits[0])
         n28a = _int_from_bits(bits[1:29])
         n28b = _int_from_bits(bits[29:57])
@@ -159,10 +170,9 @@ def unpack77(payload_bits: np.ndarray,
         s13 = _int_from_bits(bits[61:74])
         ca = unpack_callsign_28(n28a, 0, i3, hashes)
         cb = unpack_callsign_28(n28b, 0, i3, hashes)
-        rpt = f"{r3 + 2}{'59' if s13 < 8000 else '599'}"
-        serial = str(s13)
-        parts = (["TU;"] if tu else []) + [ca, cb, ("R " if ir else "") + rpt,
-                                           serial]
+        rpt = f"5{r3 + 2}9"
+        parts = (["TU;"] if tu else []) + [ca, cb] \
+            + (["R"] if ir else []) + [rpt, f"{s13:04d}"]
         return " ".join(parts)
     if i3 == 4:
         return _unpack_nonstd(bits, hashes)

@@ -63,3 +63,25 @@ def test_hash_table():
     h22 = hash_callsign("PJ4/K1ABC", 22)
     assert t.lookup(h22, 22) == "PJ4/K1ABC"
     assert t.lookup(h22 >> 10, 12) == "PJ4/K1ABC"
+
+
+def test_rtty_roundtrip():
+    from rtlsdr_ft8d_tpu.protocol.unpack import unpack77 as u
+    for msg in ["TU; W9XYZ K1ABC R 579 0013", "K1ABC W9XYZ 559 0007",
+                "W9XYZ K1ABC R 599 7999"]:
+        assert u(pack77(msg)) == msg
+
+
+def test_dxpedition_roundtrip():
+    from rtlsdr_ft8d_tpu.protocol.text import CallsignHashTable
+    from rtlsdr_ft8d_tpu.protocol.unpack import unpack77 as u
+    t = CallsignHashTable()
+    t.add("KH1/KH7Z")
+    msg = "K1ABC RR73; W9XYZ <KH1/KH7Z> -08"
+    assert u(pack77(msg), t) == msg
+
+
+def test_rtty_does_not_capture_free_text():
+    from rtlsdr_ft8d_tpu.protocol.unpack import unpack77 as u
+    msg = "HELO 579 0013"   # 13 chars, non-call tokens
+    assert u(pack77(msg)) == msg   # must stay free text
