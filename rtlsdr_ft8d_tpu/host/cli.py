@@ -107,6 +107,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wideband-channels", type=str, default=None,
                    help="comma-separated channel indices to decode in "
                         "--wideband mode (default: all 750)")
+    p.add_argument("--pallas-ingest", action="store_true",
+                   help="decimate raw int8 IQ on-device with the Pallas "
+                        "ingest kernel (4x less host->device bandwidth; "
+                        "one-time ~3 min Mosaic compile on first window)")
     p.add_argument("--multipass", type=int, default=1, metavar="N",
                    help="decode passes with signal subtraction between "
                         "passes (WSJT-X-style; default 1 = single pass)")

@@ -98,11 +98,18 @@ class WindowProcessor:
     def process_fullrate(self, i8: np.ndarray, q8: np.ndarray):
         """One 15-s window of mixed int8 baseband at 2.4 Msps."""
         n = (i8.shape[0] // R) * R
-        i_f = i8[:n].astype(np.float32) / 128.0
-        q_f = q8[:n].astype(np.float32) / 128.0
         if self.wideband:
-            return self.process_wideband(i_f, q_f)
-        i_bb, q_bb = self.decimator.process(i_f, q_f)
+            return self.process_wideband(i8[:n].astype(np.float32) / 128.0,
+                                         q8[:n].astype(np.float32) / 128.0)
+        if getattr(self.args, "pallas_ingest", False):
+            if not hasattr(self, "_int8_decimator"):
+                from ..ops.decimate import StreamingDecimatorInt8
+                self._int8_decimator = StreamingDecimatorInt8()
+            i_bb, q_bb = self._int8_decimator.process(i8[:n], q8[:n])
+        else:
+            i_bb, q_bb = self.decimator.process(
+                i8[:n].astype(np.float32) / 128.0,
+                q8[:n].astype(np.float32) / 128.0)
         return self.process_baseband(i_bb, q_bb)
 
     def process_wideband(self, i_f: np.ndarray, q_f: np.ndarray):

@@ -146,3 +146,38 @@ class StreamingDecimator:
         i_out, q_out = polyphase_decimate(jnp.asarray(i_full),
                                           jnp.asarray(q_full))
         return np.asarray(i_out), np.asarray(q_out)
+
+
+class StreamingDecimatorInt8:
+    """int8 variant: uploads raw int8 IQ (4x less host->device traffic) and
+    runs the Pallas ingest kernel (ops/decimate_pallas.py) on device.
+    Output scale matches StreamingDecimator fed with int8/128 floats.
+    """
+
+    def __init__(self, interpret: bool | None = None):
+        self._hist_i = np.zeros(HISTORY, np.int8)
+        self._hist_q = np.zeros(HISTORY, np.int8)
+        if interpret is None:
+            # Mosaic only exists on TPU; interpret elsewhere (slow, correct)
+            interpret = jax.default_backend() != "tpu"
+        self._interpret = interpret
+
+    def process(self, i8_chunk, q8_chunk):
+        from .decimate_pallas import TILE_OUT, decimate_int8
+        i8_chunk = np.asarray(i8_chunk, np.int8)
+        q8_chunk = np.asarray(q8_chunk, np.int8)
+        assert i8_chunk.shape[-1] % R == 0
+        m = i8_chunk.shape[-1] // R
+        pad_out = (-m) % TILE_OUT
+        i_full = np.concatenate(
+            [self._hist_i, i8_chunk, np.zeros(pad_out * R, np.int8)])
+        q_full = np.concatenate(
+            [self._hist_q, q8_chunk, np.zeros(pad_out * R, np.int8)])
+        self._hist_i = np.concatenate(
+            [self._hist_i, i8_chunk])[-HISTORY:].copy()
+        self._hist_q = np.concatenate(
+            [self._hist_q, q8_chunk])[-HISTORY:].copy()
+        i_out, q_out = decimate_int8(jnp.asarray(i_full),
+                                     jnp.asarray(q_full),
+                                     interpret=self._interpret)
+        return np.asarray(i_out)[:m], np.asarray(q_out)[:m]

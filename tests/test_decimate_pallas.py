@@ -27,3 +27,21 @@ def test_pallas_matches_jnp_reference():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(oq), np.asarray(rq) / 128.0,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_int8_matches_float(monkeypatch):
+    """StreamingDecimatorInt8 (interpret mode) vs float StreamingDecimator."""
+    from rtlsdr_ft8d_tpu.ops.decimate import (StreamingDecimator,
+                                              StreamingDecimatorInt8)
+    rng = np.random.default_rng(3)
+    n = 32 * R
+    i8 = rng.integers(-127, 128, n).astype(np.int8)
+    q8 = rng.integers(-127, 128, n).astype(np.int8)
+    ref = StreamingDecimator()
+    ri, rq = ref.process(i8.astype(np.float32) / 128.0,
+                         q8.astype(np.float32) / 128.0)
+    dec = StreamingDecimatorInt8(interpret=True)
+    oi, oq = dec.process(i8, q8)
+    assert oi.shape == ri.shape
+    np.testing.assert_allclose(oi, ri, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(oq, rq, rtol=1e-4, atol=1e-5)
