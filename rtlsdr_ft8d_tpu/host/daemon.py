@@ -46,13 +46,23 @@ def decode_file(args) -> int:
         i_s = np.pad(i_s, (0, WINDOW - i_s.shape[0]))
         q_s = np.pad(q_s, (0, WINDOW - q_s.shape[0]))
     hashes = CallsignHashTable()
-    n_windows = i_s.shape[0] // WINDOW
+    # batch ALL 15-s windows of the capture as channels: one device call
+    # decodes the whole file (the reference replays one window at a time)
+    n_windows = max(1, -(-i_s.shape[0] // WINDOW))
+    pad = n_windows * WINDOW - i_s.shape[0]
+    if pad:
+        i_s = np.pad(i_s, (0, pad))
+        q_s = np.pad(q_s, (0, pad))
+    batches = (i_s.reshape(n_windows, WINDOW), q_s.reshape(n_windows, WINDOW))
+    results = decode_window(batches, hashes=hashes,
+                            passes=getattr(args, "multipass", 1))
+    if n_windows == 1:
+        results = [results] if not isinstance(results[0], list) else results
     total = 0
-    for w in range(max(1, n_windows)):
-        sl = slice(w * WINDOW, (w + 1) * WINDOW)
-        decodes = decode_window((i_s[sl], q_s[sl]), hashes=hashes,
-                                passes=getattr(args, "multipass", 1))
-        when = datetime.now(timezone.utc)
+    when = datetime.now(timezone.utc)
+    for w, decodes in enumerate(results):
+        if n_windows > 1:
+            print(f"-- window {w} (t={w * 15}s)")
         print_spots(decodes, when, dial_freq)
         total += len(decodes)
     return 0 if total > 0 else 1
