@@ -278,6 +278,71 @@ int ft8_ldpc_check(const uint8_t* cw174) {
   return errors;
 }
 
+namespace {
+
+// Type 0.1 DXpedition: "TO RR73; DE <HASH> +NN" -> c28 c28 h10 r5
+bool try_pack_dxpedition(char toks[8][16], int ntok, uint8_t* bits) {
+  if (ntok != 5 || strcmp(toks[1], "RR73;")) return false;
+  const char* hc = toks[3];
+  size_t hl = strlen(hc);
+  if (hl < 3 || hc[0] != '<' || hc[hl - 1] != '>') return false;
+  const char* rpt = toks[4];
+  if (!(rpt[0] == '+' || rpt[0] == '-')) return false;
+  int report = atoi(rpt);
+  if (report < -30 || report > 32 || report % 2) return false;
+  char s6[7];
+  if (!normalize_std(toks[0], s6) || !normalize_std(toks[2], s6))
+    return false;
+  int64_t a = pack_c28(toks[0]), b = pack_c28(toks[2]);
+  if (a < 0 || b < 0) return false;
+  char inner[16];
+  snprintf(inner, sizeof inner, "%.*s", static_cast<int>(hl - 2), hc + 1);
+  uint64_t h10 = hash_call(inner, 10);
+  set_bits(bits, 0, a, 28);
+  set_bits(bits, 28, b, 28);
+  set_bits(bits, 56, h10, 10);
+  set_bits(bits, 66, (report + 30) / 2, 5);
+  set_bits(bits, 71, 1, 3);
+  set_bits(bits, 74, 0, 3);
+  return true;
+}
+
+// Type 3 RTTY RU: "[TU;] A B [R] 5N9 NNNN" -> t1 c28 c28 R1 r3 s13
+bool try_pack_rtty(char toks[8][16], int ntok, uint8_t* bits) {
+  int i = 0, tu = 0;
+  if (ntok >= 1 && !strcmp(toks[0], "TU;")) { tu = 1; i = 1; }
+  int rem = ntok - i;
+  if (rem != 4 && rem != 5) return false;
+  const char* serial = toks[ntok - 1];
+  const char* rpt = toks[ntok - 2];
+  int ir = 0;
+  if (rem == 5) {
+    if (strcmp(toks[ntok - 3], "R")) return false;
+    ir = 1;
+  }
+  for (const char* p = serial; *p; ++p)
+    if (!isdigit(*p)) return false;
+  int sv = atoi(serial);
+  if (sv >= 8000) return false;
+  if (strlen(rpt) != 3 || rpt[0] != '5' || rpt[2] != '9'
+      || !isdigit(rpt[1]) || rpt[1] < '2') return false;
+  char s6[7];
+  if (!normalize_std(toks[i], s6) || !normalize_std(toks[i + 1], s6))
+    return false;
+  int64_t a = pack_c28(toks[i]), b = pack_c28(toks[i + 1]);
+  if (a < 0 || b < 0) return false;
+  bits[0] = tu;
+  set_bits(bits, 1, a, 28);
+  set_bits(bits, 29, b, 28);
+  bits[57] = ir;
+  set_bits(bits, 58, rpt[1] - '0' - 2, 3);
+  set_bits(bits, 61, sv, 13);
+  set_bits(bits, 74, 3, 3);
+  return true;
+}
+
+}  // namespace
+
 // pack77: message text -> 77 bits; returns 0 on success (standard/free
 // text), <0 on hard failure. Mirrors rtlsdr_ft8d_tpu/protocol/pack.py.
 int ft8_pack77(const char* text_in, uint8_t* bits77) {
@@ -308,6 +373,9 @@ int ft8_pack77(const char* text_in, uint8_t* bits77) {
          t = strtok_r(nullptr, " ", &save))
       snprintf(toks[ntok++], 16, "%s", t);
   }
+
+  if (try_pack_dxpedition(toks, ntok, bits77)) return 0;
+  if (try_pack_rtty(toks, ntok, bits77)) return 0;
 
   // try standard type 1/2
   int i3 = 1;
@@ -407,6 +475,17 @@ int ft8_unpack77(const uint8_t* bits77, char* out, size_t cap) {
       snprintf(out, cap, "%s", s);
       return 0;
     }
+    if (n3 == 1) {
+      // DXpedition: c28 c28 h10 r5 -> "TO RR73; DE <...> +NN"
+      uint32_t n28a = static_cast<uint32_t>(get_bits(bits77, 0, 28));
+      uint32_t n28b = static_cast<uint32_t>(get_bits(bits77, 28, 56 - 28));
+      int r5 = static_cast<int>(get_bits(bits77, 66, 5));
+      char ca[20], cb[20];
+      unpack_c28(n28a, 0, 1, ca, sizeof ca);
+      unpack_c28(n28b, 0, 1, cb, sizeof cb);
+      snprintf(out, cap, "%s RR73; %s <...> %+03d", ca, cb, 2 * r5 - 30);
+      return 0;
+    }
     if (n3 == 5) {
       uint64_t hi = get_bits(bits77, 0, 7), lo = get_bits(bits77, 7, 64);
       snprintf(out, cap, "%02llX%016llX",
@@ -415,6 +494,21 @@ int ft8_unpack77(const uint8_t* bits77, char* out, size_t cap) {
       return 0;
     }
     return -1;
+  }
+  if (i3 == 3) {
+    // RTTY RU: t1 c28 c28 R1 r3 s13 -> "[TU; ]A B [R ]5N9 NNNN"
+    int tu = bits77[0];
+    uint32_t n28a = static_cast<uint32_t>(get_bits(bits77, 1, 28));
+    uint32_t n28b = static_cast<uint32_t>(get_bits(bits77, 29, 28));
+    int ir = bits77[57];
+    int r3 = static_cast<int>(get_bits(bits77, 58, 3));
+    int s13 = static_cast<int>(get_bits(bits77, 61, 13));
+    char ca[20], cb[20];
+    unpack_c28(n28a, 0, 3, ca, sizeof ca);
+    unpack_c28(n28b, 0, 3, cb, sizeof cb);
+    snprintf(out, cap, "%s%s %s %s5%d9 %04d", tu ? "TU; " : "", ca, cb,
+             ir ? "R " : "", r3 + 2, s13);
+    return 0;
   }
   if (i3 == 1 || i3 == 2) {
     uint32_t n28a = static_cast<uint32_t>(get_bits(bits77, 0, 28));

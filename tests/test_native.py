@@ -41,7 +41,8 @@ def test_native_encode_golden():
 CORPUS = ["CQ K1JT FN20", "K1ABC W9XYZ EN37", "W9XYZ K1ABC R-09",
           "K1ABC W9XYZ RR73", "CQ DX W9XYZ EN37", "CQ 021 K1ABC FN42",
           "TNX BOB 73 GL", "DE VA2GKA FN35", "CQ TEST K1ABC/R FN42",
-          "CQ K1JT FN20QI"]
+          "CQ K1JT FN20QI", "TU; W9XYZ K1ABC R 579 0013",
+          "K1ABC W9XYZ 559 0007", "K1ABC RR73; W9XYZ <KH1/KH7Z> -08"]
 
 
 @pytest.mark.parametrize("msg", CORPUS)
