@@ -150,31 +150,54 @@ class WindowProcessor:
         self.windows_done += 1
         return all_decodes
 
+    def decimate_fullrate(self, i8: np.ndarray, q8: np.ndarray):
+        """Full-rate int8 -> padded 48000-sample baseband (no decode)."""
+        n = (i8.shape[0] // R) * R
+        if getattr(self.args, "pallas_ingest", False):
+            if not hasattr(self, "_int8_decimator"):
+                from ..ops.decimate import StreamingDecimatorInt8
+                self._int8_decimator = StreamingDecimatorInt8()
+            i_bb, q_bb = self._int8_decimator.process(i8[:n], q8[:n])
+        else:
+            i_bb, q_bb = self.decimator.process(
+                i8[:n].astype(np.float32) / 128.0,
+                q8[:n].astype(np.float32) / 128.0)
+        if i_bb.shape[0] < WINDOW:
+            i_bb = np.pad(i_bb, (0, WINDOW - i_bb.shape[0]))
+            q_bb = np.pad(q_bb, (0, WINDOW - q_bb.shape[0]))
+        return i_bb[:WINDOW], q_bb[:WINDOW]
+
+    def emit(self, decodes, epoch, stats=None, decode_ms=0.0,
+             i_bb=None, q_bb=None):
+        """Print/report/save one window's results."""
+        when = datetime.fromtimestamp(epoch, timezone.utc)
+        if stats is not None and getattr(self.args, "stats", False):
+            from .log import logger
+            stats.epoch = epoch
+            stats.decode_ms = decode_ms
+            logger.info(stats.to_json())
+        print_spots(decodes, when, self.dial_freq)
+        if self.args.writefile and i_bb is not None:
+            write_iq(timestamped_name(self.args.writefile, when), i_bb, q_bb)
+        if getattr(self.args, "save_c2", None) and i_bb is not None:
+            from .io import write_c2
+            write_c2(self.args.save_c2, i_bb, q_bb, self.dial_freq)
+        self.reporter.report(decodes, self.dial_freq, epoch)
+        self.windows_done += 1
+        return decodes
+
     def process_baseband(self, i_bb: np.ndarray, q_bb: np.ndarray):
         if i_bb.shape[0] < WINDOW:
             i_bb = np.pad(i_bb, (0, WINDOW - i_bb.shape[0]))
             q_bb = np.pad(q_bb, (0, WINDOW - q_bb.shape[0]))
         i_bb, q_bb = i_bb[:WINDOW], q_bb[:WINDOW]
         epoch = int(time.time()) - SIGNAL_LENGTH_S + 1
-        when = datetime.fromtimestamp(epoch, timezone.utc)
         t0 = time.time()
         decodes, stats = decode_window(
             (i_bb, q_bb), hashes=self.hashes, return_stats=True,
             passes=getattr(self.args, "multipass", 1))
-        if getattr(self.args, "stats", False):
-            from .log import logger
-            stats.epoch = epoch
-            stats.decode_ms = (time.time() - t0) * 1000.0
-            logger.info(stats.to_json())
-        print_spots(decodes, when, self.dial_freq)
-        if self.args.writefile:
-            write_iq(timestamped_name(self.args.writefile, when), i_bb, q_bb)
-        if getattr(self.args, "save_c2", None):
-            from .io import write_c2
-            write_c2(self.args.save_c2, i_bb, q_bb, self.dial_freq)
-        self.reporter.report(decodes, self.dial_freq, epoch)
-        self.windows_done += 1
-        return decodes
+        return self.emit(decodes, epoch, stats, (time.time() - t0) * 1000.0,
+                         i_bb, q_bb)
 
 
 def run_daemon(args) -> int:
@@ -233,7 +256,9 @@ def run_daemon(args) -> int:
         time.sleep(min(seconds_to_next_window(), 0.0 if synthetic else 15.0))
         i8 = np.zeros(FULLRATE_WINDOW, dtype=np.int8)
         q8 = np.zeros(FULLRATE_WINDOW, dtype=np.int8)
+        multiband = len(bands) > 1 and not getattr(args, "wideband", False)
         while not stop:
+            basebands = []
             for src, ring, proc in zip(sources, rings, procs):
                 if synthetic:
                     push_fn(ring)(src.read(FULLRATE_WINDOW))
@@ -251,7 +276,21 @@ def run_daemon(args) -> int:
                     # partial buffers (c:235-237)
                     print(f"short window ({got} samples), resyncing",
                           file=sys.stderr)
-                proc.process_fullrate(i8[:got], q8[:got])
+                if multiband:
+                    basebands.append(
+                        proc.decimate_fullrate(i8[:got], q8[:got]))
+                else:
+                    proc.process_fullrate(i8[:got], q8[:got])
+            if multiband:
+                # ONE batched device decode across all bands
+                i_b = np.stack([b[0] for b in basebands])
+                q_b = np.stack([b[1] for b in basebands])
+                epoch = int(time.time()) - SIGNAL_LENGTH_S + 1
+                results = decode_window(
+                    (i_b, q_b), hashes=procs[0].hashes,
+                    passes=getattr(args, "multipass", 1))
+                for proc, decodes, bb in zip(procs, results, basebands):
+                    proc.emit(decodes, epoch, i_bb=bb[0], q_bb=bb[1])
             if args.maxloop and procs[0].windows_done >= args.maxloop:
                 stop = True
     except KeyboardInterrupt:

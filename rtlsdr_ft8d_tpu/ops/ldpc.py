@@ -73,8 +73,15 @@ def _check_errors(hard: jax.Array) -> jax.Array:
     return jnp.sum(jnp.sum(bits, axis=-1) % 2, axis=-1)
 
 
-_MM = dict(precision=jax.lax.Precision.HIGHEST,
-           preferred_element_type=jnp.float32)
+# FT8_TPU_FAST=1 relaxes the Tanner-graph GEMMs to default (bf16x3-class)
+# precision: the one-hot selection matmuls stay exact in structure and BP is
+# soft-decision-robust to the value rounding; CRC still gates every decode.
+import os as _os
+
+_PRECISION = (jax.lax.Precision.DEFAULT
+              if _os.environ.get("FT8_TPU_FAST") == "1"
+              else jax.lax.Precision.HIGHEST)
+_MM = dict(precision=_PRECISION, preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters",))
