@@ -70,3 +70,13 @@ def test_dryrun_multichip():
     sys.path.insert(0, "/root/repo")
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import entry
+    fn, args = entry()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    assert out["packed"].shape == (8, 50, 12)
