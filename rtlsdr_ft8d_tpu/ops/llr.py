@@ -28,6 +28,40 @@ _BIT_SET = np.array([[(j >> (2 - b)) & 1 for j in range(8)]
                      for b in range(3)], dtype=bool)         # (3, 8)
 
 
+def _tone_mags(wf: jax.Array, cand: dict):
+    """Gather the 8 Gray-demapped tone magnitudes per (candidate, symbol).
+
+    TPU-shaped: one LANE-ALIGNED row gather (each unit is a whole 256-bin
+    row) followed by a one-hot einsum on the MXU to select the 8 tone
+    columns — element-wise waterfall gathers were the single hottest op of
+    the whole pipeline (~38 ms of a 59 ms graph at 64 channels).
+
+    Returns (s2, valid): (B, K, 58, 8) float32 and (B, K, 58) bool.
+    """
+    ts, fs = cand["time_sub"], cand["freq_sub"]         # (B, K)
+    to, fo = cand["time_offset"], cand["freq_offset"]   # (B, K)
+    B, K = ts.shape
+
+    sym = jnp.asarray(_DATA_SYM)                         # (58,)
+    blocks = to[..., None] + sym[None, None, :]          # (B, K, 58)
+    valid = (blocks >= 0) & (blocks < NUM_BLOCKS)
+    blocks_c = jnp.clip(blocks, 0, NUM_BLOCKS - 1)
+
+    wf_rows = wf.reshape(B, NUM_BLOCKS * 4, NUM_BIN)     # (B, 368, 256)
+    rowidx = (blocks_c * 2 + ts[..., None]) * 2 + fs[..., None]
+    rows = jnp.take_along_axis(
+        wf_rows, rowidx.reshape(B, K * FT8_ND, 1), axis=1)
+    rows = rows.reshape(B, K, FT8_ND, NUM_BIN).astype(jnp.float32)
+
+    # one-hot column selector: bins fo + GRAY[j] for j = 0..7
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, K, NUM_BIN), 2)
+    want = fo[..., None, None] + jnp.asarray(_GRAY)[None, None, None, :]
+    sel = (col[..., None] == want).astype(jnp.float32)   # (B, K, 256, 8)
+    s2 = jnp.einsum("bksc,bkcj->bksj", rows, sel,
+                    precision=jax.lax.Precision.HIGHEST)
+    return s2, valid
+
+
 def extract_llrs(wf: jax.Array, cand: dict) -> jax.Array:
     """Extract normalized LLRs for each candidate.
 
@@ -39,26 +73,8 @@ def extract_llrs(wf: jax.Array, cand: dict) -> jax.Array:
     Returns:
       (B, K, 174) float32 normalized LLRs.
     """
-    ts, fs = cand["time_sub"], cand["freq_sub"]         # (B, K)
-    to, fo = cand["time_offset"], cand["freq_offset"]   # (B, K)
-    B, K = ts.shape
-
-    sym = jnp.asarray(_DATA_SYM)                         # (58,)
-    blocks = to[..., None] + sym[None, None, :]          # (B, K, 58)
-    valid = (blocks >= 0) & (blocks < NUM_BLOCKS)
-    blocks_c = jnp.clip(blocks, 0, NUM_BLOCKS - 1)
-
-    # Flat-index gather of 8 CONTIGUOUS tone bins per (candidate, symbol)
-    # followed by a static Gray permutation: one well-shaped gather instead
-    # of a scattered 5-D fancy-index (TPU gathers want contiguity).
-    wf_flat = wf.reshape(B, -1)                          # (B, 94208)
-    base = ((blocks_c * 2 + ts[..., None]) * 2
-            + fs[..., None]) * NUM_BIN + fo[..., None]   # (B, K, 58)
-    idx = base[..., None] + jnp.arange(8)[None, None, None, :]
-    idx = jnp.clip(idx, 0, wf_flat.shape[1] - 1).reshape(B, -1)
-    p8 = jnp.take_along_axis(wf_flat, idx, axis=-1)
-    p8 = p8.reshape(B, K, FT8_ND, 8).astype(jnp.float32)
-    s2 = p8[..., jnp.asarray(_GRAY)]                     # Gray demap
+    s2, valid = _tone_mags(wf, cand)
+    B, K = s2.shape[:2]
 
     set_mask = jnp.asarray(_BIT_SET)                     # (3, 8)
     s2e = s2[..., None, :]                               # (B, K, 58, 1, 8)
@@ -89,24 +105,12 @@ def estimate_snr(wf: jax.Array, cand: dict) -> jax.Array:
 
     Returns (B, K) float32 dB.
     """
-    ts, fs = cand["time_sub"], cand["freq_sub"]
-    to, fo = cand["time_offset"], cand["freq_offset"]
-    B, K = ts.shape
-    sym = jnp.asarray(_DATA_SYM)
-    blocks = to[..., None] + sym[None, None, :]
-    valid = (blocks >= 0) & (blocks < NUM_BLOCKS)
-    blocks_c = jnp.clip(blocks, 0, NUM_BLOCKS - 1)
-    wf_flat = wf.reshape(B, -1)
-    base = ((blocks_c * 2 + ts[..., None]) * 2
-            + fs[..., None]) * NUM_BIN + fo[..., None]
-    idx = base[..., None] + jnp.arange(8)[None, None, None, :]
-    idx = jnp.clip(idx, 0, wf_flat.shape[1] - 1).reshape(B, -1)
-    p8 = jnp.take_along_axis(wf_flat, idx, axis=-1)
-    p8 = p8.reshape(B, K, FT8_ND, 8).astype(jnp.float32)
+    s2, valid = _tone_mags(wf, cand)
     # strongest tone per symbol, in quantized half-dB units
-    peak = jnp.max(p8, axis=-1)
+    peak = jnp.max(s2, axis=-1)
     nvalid = jnp.maximum(jnp.sum(valid, axis=-1), 1)
     sig_half_db = jnp.sum(jnp.where(valid, peak, 0.0), axis=-1) / nvalid
-    noise_half_db = jnp.mean(wf_flat.astype(jnp.float32), axis=-1)
+    noise_half_db = jnp.mean(
+        wf.reshape(wf.shape[0], -1).astype(jnp.float32), axis=-1)
     snr = 0.5 * (sig_half_db - noise_half_db[:, None]) - 26.0
     return snr
