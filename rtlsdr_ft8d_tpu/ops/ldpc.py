@@ -87,6 +87,94 @@ _PRECISION = (jax.lax.Precision.HIGHEST
 _MM = dict(precision=_PRECISION, preferred_element_type=jnp.float32)
 
 
+# tov_j = -2 atanh(prod_{j'!=j} tanh(-V_{j'}/2)): pulling the minus signs
+# out of the (degree-1)-term product and through the odd atanh leaves an
+# overall (-1)^degree factor that the sign-magnitude min-sum form needs
+# explicitly (degree 6 rows -> +1, degree 7 rows -> -1).
+_DEG_PARITY = np.where((_NM_VALID.sum(axis=1, keepdims=True) % 2)
+                       .astype(bool), -1.0, 1.0).astype(np.float32)  # (83,1)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def bp_decode_minsum(llr: jax.Array, max_iters: int = 20,
+                     alpha: float = 0.75):
+    """Normalized min-sum variant of bp_decode.
+
+    Check-node tanh/atanh products become sign products and exclusive mins
+    (the classic hardware LDPC decoder); alpha=0.75 normalization keeps it
+    within ~0.1 dB of sum-product on this code. Roughly halves the BP loop
+    cost. Same interface and best-iteration tracking as bp_decode.
+    """
+    batch_shape = llr.shape[:-1]
+    llr2 = llr.reshape((-1, FT8_LDPC_N))
+    N = llr2.shape[0]
+
+    var2edge = jnp.asarray(_SEL_VAR2EDGE)
+    tov2edge = jnp.asarray(_SEL_TOV2EDGE)
+    edge2tov = jnp.asarray(_SEL_EDGE2TOV)
+    var2check = jnp.asarray(_SEL_VAR2CHECK)
+    edge_valid = jnp.asarray(_NM_VALID.reshape(-1))
+    deg_parity = jnp.asarray(_DEG_PARITY)               # (83, 1)
+
+    zero = llr2[:, :1] * 0.0
+    tov0 = jnp.zeros((N, FT8_LDPC_N * 3), llr2.dtype) + zero
+    best_err0 = jnp.full((N,), FT8_LDPC_M, jnp.int32) \
+        + zero[:, 0].astype(jnp.int32)
+    best_hard0 = jnp.zeros((N, FT8_LDPC_N), jnp.int8) \
+        + zero.astype(jnp.int8)
+
+    BIG = jnp.float32(1e9)
+
+    def body(_, state):
+        tov, best_err, best_hard = state
+        tov3 = tov.reshape(N, FT8_LDPC_N, 3)
+        post = llr2 + jnp.sum(tov3, axis=-1)
+        hard = (post > 0)
+        hardf = hard.astype(jnp.float32)
+        cnt = jnp.dot(hardf, var2check, **_MM)
+        errors = jnp.sum(jnp.mod(cnt, 2.0), axis=-1).astype(jnp.int32)
+        allzero = ~jnp.any(hard, axis=-1)
+        errors = jnp.where(allzero, FT8_LDPC_M, errors)
+        better = errors < best_err
+        best_err = jnp.where(better, errors, best_err)
+        best_hard = jnp.where(better[..., None], hard.astype(jnp.int8),
+                              best_hard)
+
+        e_edge = jnp.dot(post, var2edge, **_MM)
+        tov_edge = jnp.dot(tov, tov2edge, **_MM)
+        v = (e_edge - tov_edge).reshape(N, FT8_LDPC_M, 7)
+        mag = jnp.where(edge_valid.reshape(FT8_LDPC_M, 7), jnp.abs(v), BIG)
+        sgn = jnp.where(edge_valid.reshape(FT8_LDPC_M, 7) & (v < 0),
+                        -1.0, 1.0)
+
+        # exclusive min via 7 static masked variants (argmin/one_hot inside
+        # the loop crashes the Mosaic/XLA-TPU compile helper)
+        mins = []
+        for j in range(7):
+            mask_j = np.ones(7, bool); mask_j[j] = False
+            mins.append(jnp.min(jnp.where(jnp.asarray(mask_j), mag, BIG),
+                                axis=-1))
+        excl_min = jnp.stack(mins, axis=-1)              # (N, 83, 7)
+
+        # sign product via negative-count parity (float prod reduce was one
+        # suspect in a TPU compile-helper crash; parity is also cheaper)
+        neg = (sgn < 0).astype(jnp.float32)
+        nneg = jnp.sum(neg, axis=-1, keepdims=True)
+        s_total = 1.0 - 2.0 * jnp.mod(nneg, 2.0)
+        excl_sgn = s_total * sgn                          # s^2 = 1
+
+        # tov'_j = (-1)^(deg) * excl_sign * alpha * excl_min, with the
+        # (-1)^(degree-1+1) factor folded into deg_parity
+        msg = deg_parity[None, :, :] * excl_sgn * (alpha * excl_min)
+        tov_new = jnp.dot(msg.reshape(N, _EDGES), edge2tov, **_MM)
+        return tov_new, best_err, best_hard
+
+    _, best_err, best_hard = jax.lax.fori_loop(
+        0, max_iters, body, (tov0, best_err0, best_hard0))
+    return (best_hard.reshape(batch_shape + (FT8_LDPC_N,)),
+            best_err.reshape(batch_shape))
+
+
 @functools.partial(jax.jit, static_argnames=("max_iters",))
 def bp_decode(llr: jax.Array, max_iters: int = 20):
     """Decode a batch of LLR vectors.

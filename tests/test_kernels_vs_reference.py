@@ -103,3 +103,20 @@ def test_bp_corrects_noisy_codeword():
     assert int(err[0]) == 0
     assert np.array_equal(np.asarray(hard[0]), cw)
     assert bool(crc_check(hard)[0])
+
+
+def test_minsum_decodes_like_sum_product():
+    from rtlsdr_ft8d_tpu.ops.ldpc import bp_decode_minsum
+    rng = np.random.default_rng(11)
+    agree = 0
+    for _ in range(20):
+        msg = rng.integers(0, 2, 77).astype(np.uint8)
+        cw = ldpc_encode(add_crc(msg))
+        llr = (2.0 * cw.astype(np.float32) - 1.0) * 2.0 \
+            + rng.normal(0, 1.25, 174).astype(np.float32)
+        h1, e1 = bp_decode(jnp.asarray(llr)[None])
+        h2, e2 = bp_decode_minsum(jnp.asarray(llr)[None])
+        ok1 = int(e1[0]) == 0 and np.array_equal(np.asarray(h1[0]), cw)
+        ok2 = int(e2[0]) == 0 and np.array_equal(np.asarray(h2[0]), cw)
+        agree += ok1 == ok2
+    assert agree >= 19
