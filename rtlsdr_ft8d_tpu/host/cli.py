@@ -111,6 +111,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="decimate raw int8 IQ on-device with the Pallas "
                         "ingest kernel (4x less host->device bandwidth; "
                         "one-time ~3 min Mosaic compile on first window)")
+    p.add_argument("--ap", action="store_true",
+                   help="a-priori CQ decoding: a second LDPC pass with the "
+                        "known 'CQ' prefix bits clamped recovers CQ calls "
+                        "~1 dB deeper (WSJT-X-style)")
     p.add_argument("--multipass", type=int, default=1, metavar="N",
                    help="decode passes with signal subtraction between "
                         "passes (WSJT-X-style; default 1 = single pass)")

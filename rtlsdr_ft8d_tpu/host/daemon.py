@@ -55,7 +55,8 @@ def decode_file(args) -> int:
         q_s = np.pad(q_s, (0, pad))
     batches = (i_s.reshape(n_windows, WINDOW), q_s.reshape(n_windows, WINDOW))
     results = decode_window(batches, hashes=hashes,
-                            passes=getattr(args, "multipass", 1))
+                            passes=getattr(args, "multipass", 1),
+                            ap_cq=getattr(args, "ap", False))
     if n_windows == 1:
         results = [results] if not isinstance(results[0], list) else results
     total = 0
@@ -137,7 +138,8 @@ class WindowProcessor:
         epoch = int(time.time()) - SIGNAL_LENGTH_S + 1
         when = datetime.fromtimestamp(epoch, timezone.utc)
         results = decode_window((i_b, q_b), hashes=self.hashes,
-                                passes=getattr(self.args, "multipass", 1))
+                                passes=getattr(self.args, "multipass", 1),
+                                ap_cq=getattr(self.args, "ap", False))
         per_channel = []
         for k, decodes in zip(sel, results):
             for d in decodes:
@@ -195,7 +197,8 @@ class WindowProcessor:
         t0 = time.time()
         decodes, stats = decode_window(
             (i_bb, q_bb), hashes=self.hashes, return_stats=True,
-            passes=getattr(self.args, "multipass", 1))
+            passes=getattr(self.args, "multipass", 1),
+            ap_cq=getattr(self.args, "ap", False))
         return self.emit(decodes, epoch, stats, (time.time() - t0) * 1000.0,
                          i_bb, q_bb)
 
@@ -288,7 +291,8 @@ def run_daemon(args) -> int:
                 epoch = int(time.time()) - SIGNAL_LENGTH_S + 1
                 results = decode_window(
                     (i_b, q_b), hashes=procs[0].hashes,
-                    passes=getattr(args, "multipass", 1))
+                    passes=getattr(args, "multipass", 1),
+                    ap_cq=getattr(args, "ap", False))
                 for proc, decodes, bb in zip(procs, results, basebands):
                     proc.emit(decodes, epoch, i_bb=bb[0], q_bb=bb[1])
             if args.maxloop and procs[0].windows_done >= args.maxloop:

@@ -72,10 +72,19 @@ class Decode:
         return parts[-1] if len(parts) >= 3 and len(parts[-1]) == 4 else ""
 
 
-@functools.partial(jax.jit, static_argnames=("num_candidates", "ldpc_iters"))
+# The 29 known payload bits of any "CQ ..." type-1 message: c28a = 2
+# (binary ...10) followed by ipa = 0 (protocol/pack.py:pack_callsign_28).
+_CQ_PREFIX_BITS = np.zeros(29, np.float32)
+_CQ_PREFIX_BITS[26] = 1.0
+_CQ_PREFIX_SIGN = jnp.asarray(2.0 * _CQ_PREFIX_BITS - 1.0)   # ±1
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_candidates", "ldpc_iters", "ap_cq"))
 def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
                          num_candidates: int = K_MAX_CANDIDATES,
-                         ldpc_iters: int = K_LDPC_ITERS):
+                         ldpc_iters: int = K_LDPC_ITERS,
+                         ap_cq: bool = False):
     """Device-side decode graph (float32 I/Q, no complex dtypes on device —
     mirrors the reference's `ft8_subsystem(iSamples, qSamples, ...)` API,
     rtlsdr_ft8d.c:1387).
@@ -107,6 +116,19 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
     llrs = jax.lax.optimization_barrier(llrs)
     hard, errors = bp_decode(llrs, ldpc_iters)
     ok = (errors == 0) & crc_check(hard) & (cand["score"] >= K_MIN_SCORE)
+
+    if ap_cq:
+        # A-priori pass (WSJT-X-style): clamp the 29 known bits of a
+        # hypothetical "CQ ..." message to high-confidence values and re-run
+        # BP; accept only where the full CRC-14 still passes. Recovers CQ
+        # calls ~1 dB deeper than the blind pass.
+        ap_mag = jnp.float32(4.9)    # ~sqrt(24), the normalized LLR sigma
+        llrs_ap = llrs.at[..., :29].set(_CQ_PREFIX_SIGN * ap_mag)
+        hard_ap, errors_ap = bp_decode(llrs_ap, ldpc_iters)
+        ok_ap = (errors_ap == 0) & crc_check(hard_ap) \
+            & (cand["score"] >= K_MIN_SCORE) & ~ok
+        hard = jnp.where(ok_ap[..., None], hard_ap, hard)
+        ok = ok | ok_ap
 
     # Device-side survivor compaction: keep at most K_MAX_MESSAGES (50, the
     # reference's per-window cap, rtlsdr_ft8d.h:46) CRC-clean candidates per
@@ -142,11 +164,13 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
     }
 
 
-def _decode_pass(i_s, q_s, hashes, num_candidates, ldpc_iters):
+def _decode_pass(i_s, q_s, hashes, num_candidates, ldpc_iters,
+                 ap_cq=False):
     """One device pass + host unpack. Returns (per-channel decode lists,
     per-channel subtraction params, raw out dict)."""
     out = jax.device_get(decode_window_device(
-        jnp.asarray(i_s), jnp.asarray(q_s), num_candidates, ldpc_iters))
+        jnp.asarray(i_s), jnp.asarray(q_s), num_candidates, ldpc_iters,
+        ap_cq))
     results = []
     sub_params = []
     for b in range(i_s.shape[0]):
@@ -185,7 +209,8 @@ def decode_window(iq, hashes: CallsignHashTable | None = None,
                   num_candidates: int = K_MAX_CANDIDATES,
                   ldpc_iters: int = K_LDPC_ITERS,
                   return_stats: bool = False,
-                  passes: int = 1):
+                  passes: int = 1,
+                  ap_cq: bool = False):
     """Decode a batch of channels; returns list (per channel) of Decode lists.
 
     `iq` may be (48000,) or (B, 48000), complex or a (i, q) tuple of float32.
@@ -204,7 +229,8 @@ def decode_window(iq, hashes: CallsignHashTable | None = None,
         squeeze = False
 
     results, sub_params, out = _decode_pass(i_s, q_s, hashes,
-                                            num_candidates, ldpc_iters)
+                                            num_candidates, ldpc_iters,
+                                            ap_cq)
 
     # Multi-pass: subtract every decoded signal and decode the residual
     # (WSJT-X-style; neither the reference nor ft8_lib has this).
@@ -233,7 +259,8 @@ def decode_window(iq, hashes: CallsignHashTable | None = None,
         i_s = np.asarray(i_r)
         q_s = np.asarray(q_r)
         res2, sub_params, _ = _decode_pass(i_s, q_s, hashes,
-                                           num_candidates, ldpc_iters)
+                                           num_candidates, ldpc_iters,
+                                           ap_cq)
         for b in range(B):
             known = {d.text for d in results[b]}
             new = [d for d in res2[b] if d.text not in known]

@@ -78,3 +78,24 @@ def test_dedup_single_message():
     iq = synthesize_message("CQ K1JT FN20", f0_hz=493.75, noise_sigma=0.02)
     decodes = decode_window(iq)
     assert len([d for d in decodes if d.text == "CQ K1JT FN20"]) == 1
+
+
+def test_ap_cq_decodes_deeper():
+    """AP pass recovers CQ messages the blind pass misses near -20 dB."""
+    rng = np.random.default_rng(99)
+    chans = np.stack([
+        synthesize_message("CQ K1JT FN20", f0_hz=300 + 12.5 * t,
+                           amplitude=0.5, noise_sigma=4.0, rng=rng)
+        for t in range(24)])
+    blind = decode_window(chans)
+    ap = decode_window(chans, ap_cq=True)
+    n_blind = sum("CQ K1JT FN20" in {d.text for d in r} for r in blind)
+    n_ap = sum("CQ K1JT FN20" in {d.text for d in r} for r in ap)
+    assert n_ap > n_blind, (n_blind, n_ap)
+
+
+def test_ap_no_false_decodes_on_noise():
+    rng = np.random.default_rng(123)
+    iq = (rng.standard_normal(48000)
+          + 1j * rng.standard_normal(48000)).astype(np.complex64)
+    assert decode_window(iq, ap_cq=True) == []
