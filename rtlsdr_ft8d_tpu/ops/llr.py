@@ -111,7 +111,15 @@ def estimate_snr(wf: jax.Array, cand: dict) -> jax.Array:
     peak = jnp.max(s2, axis=-1)
     nvalid = jnp.maximum(jnp.sum(valid, axis=-1), 1)
     sig_half_db = jnp.sum(jnp.where(valid, peak, 0.0), axis=-1) / nvalid
-    noise_half_db = jnp.mean(
-        wf.reshape(wf.shape[0], -1).astype(jnp.float32), axis=-1)
+    # noise floor: mean of the below-average cells (one-step trimmed mean —
+    # robust against strong signals inflating the plain mean in busy bands),
+    # corrected by the fixed AWGN distribution-shape offset (the lower-half
+    # mean of chi-square(2) log-power cells sits 9.9 half-dB below the full
+    # mean; measured on pure-noise waterfalls)
+    wf_f = wf.reshape(wf.shape[0], -1).astype(jnp.float32)
+    m1 = jnp.mean(wf_f, axis=-1, keepdims=True)
+    below = (wf_f <= m1).astype(jnp.float32)
+    noise_half_db = jnp.sum(wf_f * below, axis=-1) \
+        / jnp.maximum(jnp.sum(below, axis=-1), 1.0) + 9.9
     snr = 0.5 * (sig_half_db - noise_half_db[:, None]) - 26.0
     return snr
