@@ -67,6 +67,24 @@ for m in range(FT8_LDPC_M):
             _SEL_VAR2CHECK[_NM[m, j], m] = 1.0
 
 
+def _fast_tanh(x):
+    """Padé [3/2]-style rational tanh — the same approximation ft8_lib's
+    bp_decode uses (fast_tanh in kgoba decode.c), and ~2x cheaper than the
+    exact transcendental on the VPU."""
+    x = jnp.clip(x, -4.97, 4.97)
+    x2 = x * x
+    return x * (945.0 + x2 * (105.0 + x2)) \
+        / (945.0 + x2 * (420.0 + 15.0 * x2))
+
+
+def _fast_atanh(x):
+    """Rational atanh matching ft8_lib's fast_atanh; saturates instead of
+    diverging near ±1, which caps message magnitudes exactly like the C."""
+    x2 = x * x
+    return x * (945.0 + x2 * (-735.0 + x2 * 64.0)) \
+        / (945.0 + x2 * (-1050.0 + x2 * 225.0))
+
+
 def _check_errors(hard: jax.Array) -> jax.Array:
     """Number of unsatisfied parity checks. hard: (..., 174) bool/int."""
     bits = hard[..., _NM_SAFE] & jnp.asarray(_NM_VALID)      # (..., 83, 7)
@@ -226,7 +244,7 @@ def bp_decode(llr: jax.Array, max_iters: int = 20):
         # Variable -> check: Tnm = posterior[n] - tov[n, pos(m)] per edge
         e_edge = jnp.dot(post, var2edge, **_MM)              # (N, 581)
         tov_edge = jnp.dot(tov, tov2edge, **_MM)             # (N, 581)
-        toc = jnp.tanh(-0.5 * (e_edge - tov_edge))
+        toc = _fast_tanh(-0.5 * (e_edge - tov_edge))
         toc = jnp.where(edge_valid, toc, 1.0)
         toc7 = toc.reshape(N, FT8_LDPC_M, 7)
 
@@ -241,7 +259,7 @@ def bp_decode(llr: jax.Array, max_iters: int = 20):
         # Check -> variable scatter via GEMM
         val = jnp.dot(excl, edge2tov, **_MM)                 # (N, 522)
         val = jnp.clip(val, -0.999999, 0.999999)
-        tov_new = -2.0 * jnp.arctanh(val)
+        tov_new = -2.0 * _fast_atanh(val)
         return tov_new, best_err, best_hard
 
     _, best_err, best_hard = jax.lax.fori_loop(

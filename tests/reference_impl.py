@@ -93,6 +93,19 @@ def ldpc_check_ref(plain):
     return errors
 
 
+def fast_tanh_ref(x):
+    """kgoba ft8_lib's rational tanh (decode.c fast_tanh)."""
+    x = np.clip(x, -4.97, 4.97)
+    x2 = x * x
+    return x * (945.0 + x2 * (105.0 + x2)) / (945.0 + x2 * (420.0 + 15.0 * x2))
+
+
+def fast_atanh_ref(x):
+    x2 = x * x
+    return x * (945.0 + x2 * (-735.0 + x2 * 64.0)) / (
+        945.0 + x2 * (-1050.0 + x2 * 225.0))
+
+
 def bp_decode_ref(llr, max_iters=20):
     tov = np.zeros((FT8_LDPC_N, 3), dtype=np.float32)
     toc = np.zeros((FT8_LDPC_M, 7), dtype=np.float32)
@@ -115,7 +128,7 @@ def bp_decode_ref(llr, max_iters=20):
                 for i in range(3):
                     if LDPC_MN[n, i] != m:
                         t += tov[n, i]
-                toc[m, j] = np.tanh(-t / 2)
+                toc[m, j] = fast_tanh_ref(-t / 2)
         for n in range(FT8_LDPC_N):
             for i in range(3):
                 m = LDPC_MN[n, i]
@@ -124,5 +137,5 @@ def bp_decode_ref(llr, max_iters=20):
                     if LDPC_NM[m, j] != n:
                         p *= toc[m, j]
                 p = np.clip(p, -0.999999, 0.999999)
-                tov[n, i] = -2 * np.arctanh(p)
+                tov[n, i] = -2 * fast_atanh_ref(p)
     return best_plain, best_err
