@@ -56,6 +56,34 @@ def decimate_time_sharded(i_s, q_s, mesh: Mesh):
     return fn(i_s, q_s)
 
 
+def channelize_time_sharded(i_s, q_s, mesh: Mesh):
+    """Sequence-parallel wideband channelization: the 2.4 Msps stream's time
+    axis sharded over the mesh, each device channelizing its span with a
+    WB_HISTORY (=47250) sample halo from its left neighbor via ppermute.
+    Returns (1500, n/750) per-channel baseband, time-sharded on the output
+    axis."""
+    from ..ops.channelize import WB_HISTORY, channelize
+
+    axis_size = mesh.shape[TIME_AXIS]
+    local_span = i_s.shape[-1] // axis_size
+    assert local_span >= WB_HISTORY, (
+        f"per-device span {local_span} must cover the {WB_HISTORY}-sample "
+        "channelizer halo (use fewer devices or longer windows)")
+
+    def local(i_loc, q_loc):
+        perm = [(d, d + 1) for d in range(axis_size - 1)]
+        halo_i = jax.lax.ppermute(i_loc[..., -WB_HISTORY:], TIME_AXIS, perm)
+        halo_q = jax.lax.ppermute(q_loc[..., -WB_HISTORY:], TIME_AXIS, perm)
+        i_full = jnp.concatenate([halo_i, i_loc], axis=-1)
+        q_full = jnp.concatenate([halo_q, q_loc], axis=-1)
+        return channelize(i_full, q_full)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(TIME_AXIS), P(TIME_AXIS)),
+                   out_specs=(P(None, TIME_AXIS), P(None, TIME_AXIS)))
+    return fn(i_s, q_s)
+
+
 def decimate_batch_time_sharded(i_s, q_s, mesh: Mesh):
     """(B, n) variant: batch replicated dims first, time axis last."""
     axis_size = mesh.shape[TIME_AXIS]

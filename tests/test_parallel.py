@@ -80,3 +80,24 @@ def test_entry_compiles():
     out = fn(*args)
     jax.block_until_ready(out)
     assert out["packed"].shape == (8, 50, 12)
+
+
+def test_time_sharded_channelization_matches_single_device():
+    from rtlsdr_ft8d_tpu.ops.channelize import WB_HISTORY, channelize
+    from rtlsdr_ft8d_tpu.parallel.halo import channelize_time_sharded
+
+    mesh = make_time_mesh(8)
+    m = 8 * 64          # 48000 samples/device >= the 47250-sample halo
+    n = m * R
+    rng = np.random.default_rng(21)
+    i_x = rng.standard_normal(n).astype(np.float32)
+    q_x = rng.standard_normal(n).astype(np.float32)
+    got_i, got_q = channelize_time_sharded(jnp.asarray(i_x),
+                                           jnp.asarray(q_x), mesh)
+    pad_i = np.concatenate([np.zeros(WB_HISTORY, np.float32), i_x])
+    pad_q = np.concatenate([np.zeros(WB_HISTORY, np.float32), q_x])
+    ref_i, ref_q = channelize(jnp.asarray(pad_i), jnp.asarray(pad_q))
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(ref_i),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_q), np.asarray(ref_q),
+                               rtol=1e-4, atol=1e-5)
