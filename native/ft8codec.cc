@@ -401,10 +401,19 @@ int ft8_pack77(const char* text_in, uint8_t* bits77) {
     }
     if (ia < ntok) {
       snprintf(fb, sizeof fb, "%s", toks[ia]);
+      // Bounded accumulation: input text may be up to 60 chars, so the
+      // trailing-token join must track remaining capacity (never strcat).
       fc[0] = 0;
+      size_t fc_len = 0;
       for (int i = ia + 1; i < ntok; ++i) {
-        if (fc[0]) strcat(fc, " ");
-        strcat(fc, toks[i]);
+        int wrote = snprintf(fc + fc_len, sizeof fc - fc_len, "%s%s",
+                             fc_len ? " " : "", toks[i]);
+        if (wrote < 0 || fc_len + wrote >= sizeof fc) {
+          fc[sizeof fc - 1] = 0;
+          fc_len = sizeof fc - 1;
+          break;
+        }
+        fc_len += wrote;
       }
       auto strip = [&](char* f) {
         size_t l = strlen(f);

@@ -101,12 +101,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--channels", type=int, default=None,
                    help="decode batch size (defaults to number of -f args)")
     p.add_argument("--wideband", action="store_true",
-                   help="decode ALL 750 3200-Hz channels of the 2.4 MHz "
+                   help="decode ALL 1500 channels (1600 Hz spacing) of the 2.4 MHz "
                         "capture via the polyphase filterbank channelizer "
                         "instead of just the dial sub-band")
     p.add_argument("--wideband-channels", type=str, default=None,
                    help="comma-separated channel indices to decode in "
-                        "--wideband mode (default: all 750)")
+                        "--wideband mode (default: all 1500)")
     p.add_argument("--pallas-ingest", action="store_true",
                    help="decimate raw int8 IQ on-device with the Pallas "
                         "ingest kernel (4x less host->device bandwidth; "

@@ -71,7 +71,7 @@ def _half_twiddle():
 
 
 @jax.jit
-def channelize(i_full: jax.Array, q_full: jax.Array):
+def channelize(i_full: jax.Array, q_full: jax.Array, frame_offset=0):
     """Split a full-rate stream into 1500 overlapped baseband channels.
 
     2x-oversampled DFT filterbank (K = 1500 channels, decimation R = 750):
@@ -89,6 +89,11 @@ def channelize(i_full: jax.Array, q_full: jax.Array):
     Returns:
       (i_ch, q_ch): (1500, M) float32 — channel k centered at k*1600 Hz
       (k >= 750 are negative frequencies), each at 3200 sps.
+
+    frame_offset is the GLOBAL index of this call's first output frame
+    (int, may be traced). The odd-channel (-1)^m rotation must use the
+    global frame index, not the local one, or streams assembled from
+    odd-frame-count chunks/shards sign-flip odd channels mid-window.
     """
     bank = jnp.asarray(_wb_bank())                 # (750, 64)
     alt = jnp.asarray(
@@ -115,7 +120,8 @@ def channelize(i_full: jax.Array, q_full: jax.Array):
     # (-1)^r from the bank already accounts for (-1)^{m} parity of u=m+r
     ct, st = map(jnp.asarray, _half_twiddle())
     zi_o, zq_o = zi_o * ct + zq_o * st, zq_o * ct - zi_o * st
-    sign_m = jnp.where(jnp.arange(m) % 2 == 0, 1.0, -1.0)[:, None]
+    sign_m = jnp.where((jnp.arange(m) + frame_offset) % 2 == 0,
+                       1.0, -1.0)[:, None]
     zi_o = zi_o * sign_m
     zq_o = zq_o * sign_m
 
@@ -142,6 +148,7 @@ class StreamingChannelizer:
     def __init__(self):
         self._hist_i = np.zeros(WB_HISTORY, np.float32)
         self._hist_q = np.zeros(WB_HISTORY, np.float32)
+        self._frames_out = 0
 
     def process(self, i_chunk, q_chunk):
         i_chunk = np.asarray(i_chunk, np.float32)
@@ -151,7 +158,12 @@ class StreamingChannelizer:
         q_full = np.concatenate([self._hist_q, q_chunk])
         self._hist_i = i_full[-WB_HISTORY:].copy()
         self._hist_q = q_full[-WB_HISTORY:].copy()
-        i_ch, q_ch = channelize(jnp.asarray(i_full), jnp.asarray(q_full))
+        # global frame parity so odd-frame-count chunks keep the odd
+        # channels' (-1)^m rotation continuous across process() calls
+        off = self._frames_out % 2
+        self._frames_out += i_chunk.shape[-1] // R
+        i_ch, q_ch = channelize(jnp.asarray(i_full), jnp.asarray(q_full),
+                                jnp.int32(off))
         return np.asarray(i_ch), np.asarray(q_ch)
 
 

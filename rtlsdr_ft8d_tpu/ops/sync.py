@@ -123,7 +123,7 @@ def find_sync(wf: jax.Array, num_candidates: int = K_MAX_CANDIDATES,
 
     By default the top-K runs in two stages (top-CHUNK_K per 16-cell freq
     chunk, then global top-K over survivors) — a large win over a full sort
-    of all 71,856 cells on TPU. This is exact unless more than CHUNK_K of
+    of all 35,856 cells on TPU. This is exact unless more than CHUNK_K of
     the true global top-K fall in the SAME (time_sub, freq_sub, time_offset,
     100 Hz) chunk, which requires >CHUNK_K interleaved signals within 100 Hz
     at identical time alignment; `exact=True` forces the full sort.

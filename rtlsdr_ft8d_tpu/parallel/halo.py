@@ -69,6 +69,7 @@ def channelize_time_sharded(i_s, q_s, mesh: Mesh):
     assert local_span >= WB_HISTORY, (
         f"per-device span {local_span} must cover the {WB_HISTORY}-sample "
         "channelizer halo (use fewer devices or longer windows)")
+    local_frames = local_span // R
 
     def local(i_loc, q_loc):
         perm = [(d, d + 1) for d in range(axis_size - 1)]
@@ -76,7 +77,10 @@ def channelize_time_sharded(i_s, q_s, mesh: Mesh):
         halo_q = jax.lax.ppermute(q_loc[..., -WB_HISTORY:], TIME_AXIS, perm)
         i_full = jnp.concatenate([halo_i, i_loc], axis=-1)
         q_full = jnp.concatenate([halo_q, q_loc], axis=-1)
-        return channelize(i_full, q_full)
+        # global frame offset keeps the odd channels' (-1)^m rotation
+        # continuous across shards with odd per-device frame counts
+        offset = jax.lax.axis_index(TIME_AXIS) * local_frames
+        return channelize(i_full, q_full, offset % 2)
 
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P(TIME_AXIS), P(TIME_AXIS)),

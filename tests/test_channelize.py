@@ -129,3 +129,27 @@ def test_streaming_channelizer_matches_oneshot():
     got_i = np.concatenate(out_i, axis=1)
     np.testing.assert_allclose(got_i, np.asarray(ref_i), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_streaming_channelizer_odd_frame_chunks():
+    """Chunks with ODD frame counts must keep the odd channels'
+    (-1)^m rotation phase-continuous (global frame index, not local)."""
+    m = 64
+    x = (np.random.default_rng(7).standard_normal(m * R)
+         .astype(np.float32))
+    q = np.zeros_like(x)
+    ref_i, ref_q = channelize(
+        jnp.asarray(np.concatenate([np.zeros(WB_HISTORY, np.float32), x])),
+        jnp.asarray(np.concatenate([np.zeros(WB_HISTORY, np.float32), q])))
+    sc = StreamingChannelizer()
+    out_i, out_q = [], []
+    pos = 0
+    for chunk in (23, 17, 24):                    # odd, odd, even frames
+        oi, oq = sc.process(x[pos:pos + chunk * R], q[pos:pos + chunk * R])
+        out_i.append(oi)
+        out_q.append(oq)
+        pos += chunk * R
+    np.testing.assert_allclose(np.concatenate(out_i, axis=1),
+                               np.asarray(ref_i), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.concatenate(out_q, axis=1),
+                               np.asarray(ref_q), rtol=1e-4, atol=1e-5)

@@ -132,3 +132,20 @@ def test_ingest_ring_mixer():
     assert i_out[:4].tolist() == [10, 2, -10, -2]
     assert q_out[:4].tolist() == [2, -10, -2, 10]
     lib.ingest_ring_destroy(ring)
+
+
+def test_native_pack_long_hostile_inputs():
+    """Regression: trailing-token accumulation must be bounded (the round-1
+    strcat into char fc[32] overflowed on ~60-char inputs)."""
+    hostile = [
+        "K1JT W9XYZ AAAAAAAAAAAAAA BBBBBBBBBBBBBB CCCCCCCCCCCCCC DDD",
+        "CQ ABCD K1ABC/LONGSUFFIX XXXXXXXXXXXXXXXXXXXXXXXXXXXXXXXXXX",
+        "A B C D E F G H I J K L M N O P Q R S T U V W X Y Z",
+        "",
+    ]
+    for msg in hostile:
+        out = np.zeros(77, dtype=np.uint8)
+        rc = lib.ft8_pack77(
+            msg.encode(),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        assert rc == 0  # falls back to free text; must not crash/corrupt

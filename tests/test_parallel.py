@@ -101,3 +101,26 @@ def test_time_sharded_channelization_matches_single_device():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_q), np.asarray(ref_q),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_time_sharded_channelization_odd_frames_per_device():
+    """8-way sharding with an ODD per-device frame count: the odd
+    channels' (-1)^m rotation must use the global frame offset."""
+    from rtlsdr_ft8d_tpu.ops.channelize import WB_HISTORY, channelize
+    from rtlsdr_ft8d_tpu.parallel.halo import channelize_time_sharded
+
+    mesh = make_time_mesh(8)
+    per_dev = 65                       # odd; 65*750=48750 >= 47250 halo
+    n = 8 * per_dev * R
+    rng = np.random.default_rng(23)
+    i_x = rng.standard_normal(n).astype(np.float32)
+    q_x = rng.standard_normal(n).astype(np.float32)
+    got_i, got_q = channelize_time_sharded(jnp.asarray(i_x),
+                                           jnp.asarray(q_x), mesh)
+    pad_i = np.concatenate([np.zeros(WB_HISTORY, np.float32), i_x])
+    pad_q = np.concatenate([np.zeros(WB_HISTORY, np.float32), q_x])
+    ref_i, ref_q = channelize(jnp.asarray(pad_i), jnp.asarray(pad_q))
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(ref_i),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_q), np.asarray(ref_q),
+                               rtol=1e-4, atol=1e-5)
