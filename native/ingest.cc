@@ -22,6 +22,7 @@ struct Ring {
   size_t capacity;                  // samples (power of two)
   std::atomic<uint64_t> head;       // written samples
   std::atomic<uint64_t> tail;       // consumed samples
+  std::atomic<uint64_t> dropped;    // producer samples lost to a full ring
   uint64_t mixer_phase;             // absolute sample index mod 4
 };
 
@@ -38,6 +39,7 @@ void* ingest_ring_create(size_t capacity_samples) {
   r->capacity = cap;
   r->head = 0;
   r->tail = 0;
+  r->dropped = 0;
   r->mixer_phase = 0;
   return r;
 }
@@ -60,7 +62,13 @@ size_t ingest_ring_push_u8(void* ring, const uint8_t* iq_interleaved,
   uint64_t head = r->head.load(std::memory_order_relaxed);
   uint64_t tail = r->tail.load(std::memory_order_acquire);
   size_t free_samples = r->capacity - static_cast<size_t>(head - tail);
-  if (count_samples > free_samples) count_samples = free_samples;
+  if (count_samples > free_samples) {
+    // overrun: the consumer detects the advance of `dropped` and resyncs
+    // to the next UTC boundary (samples lost = windows shifted)
+    r->dropped.fetch_add(count_samples - free_samples,
+                         std::memory_order_relaxed);
+    count_samples = free_samples;
+  }
 
   uint64_t phase = r->mixer_phase;
   const size_t mask = r->capacity - 1;
@@ -108,6 +116,24 @@ size_t ingest_ring_available(void* ring) {
   return static_cast<size_t>(
       r->head.load(std::memory_order_acquire) -
       r->tail.load(std::memory_order_acquire));
+}
+
+// Consumer: advance tail without copying (UTC-boundary flush — the
+// analogue of the reference's iqIndex reset at rtlsdr_ft8d.c:1349-1352).
+// Returns samples discarded.
+size_t ingest_ring_discard(void* ring, size_t count_samples) {
+  Ring* r = static_cast<Ring*>(ring);
+  uint64_t tail = r->tail.load(std::memory_order_relaxed);
+  uint64_t head = r->head.load(std::memory_order_acquire);
+  size_t avail = static_cast<size_t>(head - tail);
+  if (count_samples > avail) count_samples = avail;
+  r->tail.store(tail + count_samples, std::memory_order_release);
+  return count_samples;
+}
+
+// Cumulative count of producer samples dropped on ring-full.
+uint64_t ingest_ring_dropped(void* ring) {
+  return static_cast<Ring*>(ring)->dropped.load(std::memory_order_relaxed);
 }
 
 }  // extern "C"

@@ -11,6 +11,7 @@ buffer, without the by-timing data race (SURVEY.md §5).
 """
 
 import ctypes
+import signal
 import sys
 import time
 from datetime import datetime, timezone
@@ -29,10 +30,15 @@ from .reporter import PskReporter, print_spots
 WINDOW = SIGNAL_LENGTH_S * SIGNAL_SAMPLE_RATE
 FULLRATE_WINDOW = SIGNAL_LENGTH_S * CAPTURE_RATE
 
+# Injectable clock (tests drive the live loop with a simulated clock whose
+# sleep() also produces samples — see tests/test_host.py).
+_now = time.time
+_sleep = time.sleep
+
 
 def seconds_to_next_window(now=None) -> float:
     """Time until the next 15-s UTC boundary (reference c:1339-1347)."""
-    now = now if now is not None else time.time()
+    now = now if now is not None else _now()
     return (15.0 - (now % 15.0)) % 15.0
 
 
@@ -106,6 +112,16 @@ class WindowProcessor:
             port=args.psk_port)
         self.windows_done = 0
 
+    def reset_streams(self):
+        """Drop overlap-save filter state after a resync gap (the carried
+        history no longer abuts the next window's samples)."""
+        self.decimator = StreamingDecimator()
+        if hasattr(self, "_int8_decimator"):
+            del self._int8_decimator
+        if self.wideband:
+            from ..ops.channelize import StreamingChannelizer
+            self.channelizer = StreamingChannelizer()
+
     def process_fullrate(self, i8: np.ndarray, q8: np.ndarray):
         """One 15-s window of mixed int8 baseband at 2.4 Msps."""
         n = (i8.shape[0] // R) * R
@@ -135,7 +151,7 @@ class WindowProcessor:
             i_b = np.pad(i_b, ((0, 0), (0, pad)))
             q_b = np.pad(q_b, ((0, 0), (0, pad)))
         i_b, q_b = i_b[:, :WINDOW], q_b[:, :WINDOW]
-        epoch = int(time.time()) - SIGNAL_LENGTH_S + 1
+        epoch = int(_now()) - SIGNAL_LENGTH_S + 1
         when = datetime.fromtimestamp(epoch, timezone.utc)
         results = decode_window((i_b, q_b), hashes=self.hashes,
                                 passes=getattr(self.args, "multipass", 1),
@@ -193,7 +209,7 @@ class WindowProcessor:
             i_bb = np.pad(i_bb, (0, WINDOW - i_bb.shape[0]))
             q_bb = np.pad(q_bb, (0, WINDOW - q_bb.shape[0]))
         i_bb, q_bb = i_bb[:WINDOW], q_bb[:WINDOW]
-        epoch = int(time.time()) - SIGNAL_LENGTH_S + 1
+        epoch = int(_now()) - SIGNAL_LENGTH_S + 1
         t0 = time.time()
         decodes, stats = decode_window(
             (i_bb, q_bb), hashes=self.hashes, return_stats=True,
@@ -254,52 +270,124 @@ def run_daemon(args) -> int:
             src.start(push_fn(ring))
 
     stop = False
+
+    # POSIX teardown parity (reference installs 6 handlers, c:1203-1208):
+    # a SIGTERM (systemd stop) / SIGHUP must cancel the USB async read and
+    # close the device, not just KeyboardInterrupt.
+    def _graceful(signum, frame):
+        nonlocal stop
+        stop = True
+
+    installed = {}
+    for sig in (signal.SIGINT, signal.SIGTERM, signal.SIGHUP):
+        try:
+            installed[sig] = signal.signal(sig, _graceful)
+        except (ValueError, OSError):
+            pass                      # non-main thread / unsupported
+
+    def align_to_boundary():
+        """Sleep to the next 15-s UTC boundary, then flush everything the
+        sources captured before it (the reference resets iqIndex at each
+        boundary, c:1349-1352). Window 0 then starts AT the boundary."""
+        _sleep(seconds_to_next_window())
+        for ring in rings:
+            lib.ingest_ring_discard(ring, lib.ingest_ring_available(ring))
+
+    def resync(reason):
+        print(f"{reason}, resyncing to next UTC boundary", file=sys.stderr)
+        align_to_boundary()
+        for proc in procs:
+            proc.reset_streams()
+
     try:
-        # align to the next 15-s boundary, discarding partial data
-        time.sleep(min(seconds_to_next_window(), 0.0 if synthetic else 15.0))
         i8 = np.zeros(FULLRATE_WINDOW, dtype=np.int8)
         q8 = np.zeros(FULLRATE_WINDOW, dtype=np.int8)
         multiband = len(bands) > 1 and not getattr(args, "wideband", False)
+        if not synthetic:
+            align_to_boundary()
+        dropped_seen = [0] * len(rings)
+        consecutive_short = 0
         while not stop:
             basebands = []
+            short = None
             for src, ring, proc in zip(sources, rings, procs):
                 if synthetic:
                     push_fn(ring)(src.read(FULLRATE_WINDOW))
                 else:
-                    deadline = time.time() + SIGNAL_LENGTH_S + 2
+                    # after a boundary flush the ring needs a full 15 s to
+                    # fill; allow 2 s of slack beyond that before declaring
+                    # the window short
+                    deadline = _now() + SIGNAL_LENGTH_S + 2.0
                     while (lib.ingest_ring_available(ring) < FULLRATE_WINDOW
-                           and time.time() < deadline):
-                        time.sleep(0.1)
+                           and _now() < deadline and not stop):
+                        _sleep(0.1)
                 got = lib.ingest_ring_pop(
                     ring, i8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
                     q8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
                     FULLRATE_WINDOW)
                 if got < FULLRATE_WINDOW:
-                    # missed deadline — skip/resync like the reference skips
-                    # partial buffers (c:235-237)
-                    print(f"short window ({got} samples), resyncing",
-                          file=sys.stderr)
+                    short = got
+                    break
                 if multiband:
-                    basebands.append(
-                        proc.decimate_fullrate(i8[:got], q8[:got]))
+                    basebands.append(proc.decimate_fullrate(i8, q8))
                 else:
-                    proc.process_fullrate(i8[:got], q8[:got])
+                    proc.process_fullrate(i8, q8)
+            if stop:
+                break
+            if short is not None:
+                # missed deadline — discard the partial window and realign
+                # (the reference skips partial buffers, c:235-237; decoding
+                # them would leave every later window offset by the deficit)
+                consecutive_short += 1
+                if consecutive_short >= 2:
+                    # pump looks dead, not just late: reopen the device(s)
+                    # (the reference exits on any device error; SURVEY §5
+                    # asks the new build to recover instead)
+                    for src in sources:
+                        if hasattr(src, "restart"):
+                            try:
+                                src.restart()
+                                print("device restarted", file=sys.stderr)
+                            except Exception as e:
+                                print(f"device restart failed: {e}",
+                                      file=sys.stderr)
+                    consecutive_short = 0
+                resync(f"short window ({short} samples)")
+                continue
+            consecutive_short = 0
             if multiband:
-                # ONE batched device decode across all bands
+                # ONE batched device decode across all bands; each band
+                # resolves hashed calls against its OWN table
                 i_b = np.stack([b[0] for b in basebands])
                 q_b = np.stack([b[1] for b in basebands])
-                epoch = int(time.time()) - SIGNAL_LENGTH_S + 1
+                epoch = int(_now()) - SIGNAL_LENGTH_S + 1
                 results = decode_window(
-                    (i_b, q_b), hashes=procs[0].hashes,
+                    (i_b, q_b), hashes=[p.hashes for p in procs],
                     passes=getattr(args, "multipass", 1),
                     ap_cq=getattr(args, "ap", False))
                 for proc, decodes, bb in zip(procs, results, basebands):
                     proc.emit(decodes, epoch, i_bb=bb[0], q_bb=bb[1])
             if args.maxloop and procs[0].windows_done >= args.maxloop:
                 stop = True
+            if not stop and not synthetic:
+                # drift control: a ring overrun means samples were lost and
+                # every later window would be permanently offset
+                over = False
+                for bi, ring in enumerate(rings):
+                    d = lib.ingest_ring_dropped(ring)
+                    if d != dropped_seen[bi]:
+                        dropped_seen[bi] = d
+                        over = True
+                if over:
+                    resync("ring overrun (samples dropped)")
     except KeyboardInterrupt:
         pass
     finally:
+        for sig, old in installed.items():
+            try:
+                signal.signal(sig, old)
+            except (ValueError, OSError):
+                pass
         if not synthetic:
             for src in sources:
                 src.stop()

@@ -38,31 +38,59 @@ class RtlSdrSource:
                 "librtlsdr not found — install librtlsdr or use a file/"
                 "synthetic source")
         self.lib = ctypes.CDLL(path)
-        self.dev = ctypes.c_void_p()
-        if self.lib.rtlsdr_open(ctypes.byref(self.dev), device_index) != 0:
-            raise SourceError(f"cannot open RTL device {device_index}")
-        real_freq = dial_freq_hz + offset + upconverter
-        if direct_sampling:
-            self.lib.rtlsdr_set_direct_sampling(self.dev, direct_sampling)
-        self.lib.rtlsdr_set_sample_rate(self.dev, CAPTURE_RATE)
-        if autogain:
-            self.lib.rtlsdr_set_tuner_gain_mode(self.dev, 0)
-        else:
-            self.lib.rtlsdr_set_tuner_gain_mode(self.dev, 1)
-            self.lib.rtlsdr_set_tuner_gain(self.dev, gain * 10)
-        if ppm:
-            self.lib.rtlsdr_set_freq_correction(self.dev, ppm)
-        # reference center frequency recipe (c:1278)
-        center = real_freq + FS4_OFFSET + BASEBAND_OFFSET
-        self.lib.rtlsdr_set_center_freq(self.dev, center)
-        self.lib.rtlsdr_reset_buffer(self.dev)
+        self._cfg = dict(device_index=device_index,
+                         dial_freq_hz=dial_freq_hz, gain=gain,
+                         autogain=autogain, ppm=ppm,
+                         direct_sampling=direct_sampling, offset=offset,
+                         upconverter=upconverter)
         self._cb_type = ctypes.CFUNCTYPE(
             None, ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint32,
             ctypes.c_void_p)
         self._thread = None
+        self._on_samples = None
+        self.dev = None
+        self._open_and_configure()
+
+    def _check(self, rc, what):
+        if rc != 0:
+            raise SourceError(f"rtlsdr_{what} failed (rc={rc})")
+
+    def _open_and_configure(self):
+        """Full device setup contract (reference c:1210-1290), with every
+        return code checked — the reference exits on first error; here
+        failures raise SourceError so the daemon can retry/reopen."""
+        c = self._cfg
+        self.dev = ctypes.c_void_p()
+        self._check(self.lib.rtlsdr_open(ctypes.byref(self.dev),
+                                         c["device_index"]),
+                    f"open device {c['device_index']}")
+        real_freq = c["dial_freq_hz"] + c["offset"] + c["upconverter"]
+        if c["direct_sampling"]:
+            self._check(self.lib.rtlsdr_set_direct_sampling(
+                self.dev, c["direct_sampling"]), "set_direct_sampling")
+        self._check(self.lib.rtlsdr_set_sample_rate(self.dev, CAPTURE_RATE),
+                    "set_sample_rate")
+        if c["autogain"]:
+            self._check(self.lib.rtlsdr_set_tuner_gain_mode(self.dev, 0),
+                        "set_tuner_gain_mode(auto)")
+        else:
+            self._check(self.lib.rtlsdr_set_tuner_gain_mode(self.dev, 1),
+                        "set_tuner_gain_mode(manual)")
+            self._check(self.lib.rtlsdr_set_tuner_gain(
+                self.dev, c["gain"] * 10), "set_tuner_gain")
+        if c["ppm"]:
+            self._check(self.lib.rtlsdr_set_freq_correction(
+                self.dev, c["ppm"]), "set_freq_correction")
+        # reference center frequency recipe (c:1278)
+        center = real_freq + FS4_OFFSET + BASEBAND_OFFSET
+        self._check(self.lib.rtlsdr_set_center_freq(self.dev, center),
+                    "set_center_freq")
+        self._check(self.lib.rtlsdr_reset_buffer(self.dev), "reset_buffer")
 
     def start(self, on_samples):
         """on_samples(np.uint8 interleaved IQ) called from the pump thread."""
+        self._on_samples = on_samples
+
         def cb(buf, length, _ctx):
             data = np.ctypeslib.as_array(buf, shape=(length,)).copy()
             on_samples(data)
@@ -76,11 +104,26 @@ class RtlSdrSource:
         self._thread = threading.Thread(target=pump, daemon=True)
         self._thread.start()
 
+    def restart(self):
+        """Close and fully reopen a failed/stalled device, resuming the
+        pump with the same callback (the reference has no recovery path —
+        every device error exits, c:1224-1290)."""
+        try:
+            self.stop()
+        except Exception:
+            pass
+        self._open_and_configure()
+        if self._on_samples is not None:
+            self.start(self._on_samples)
+
     def stop(self):
+        if self.dev is None:
+            return
         self.lib.rtlsdr_cancel_async(self.dev)
         if self._thread:
             self._thread.join(timeout=5)
         self.lib.rtlsdr_close(self.dev)
+        self.dev = None
 
 
 class SyntheticSource:

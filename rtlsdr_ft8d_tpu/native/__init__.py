@@ -79,5 +79,9 @@ def load(build_if_missing=True):
                                     ctypes.c_size_t]
     lib.ingest_ring_available.restype = ctypes.c_size_t
     lib.ingest_ring_available.argtypes = [ctypes.c_void_p]
+    lib.ingest_ring_discard.restype = ctypes.c_size_t
+    lib.ingest_ring_discard.argtypes = [ctypes.c_void_p, ctypes.c_size_t]
+    lib.ingest_ring_dropped.restype = ctypes.c_uint64
+    lib.ingest_ring_dropped.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return _LIB

@@ -35,24 +35,37 @@ from .ops.waterfall import waterfall
 from .protocol.constants import (FT8_LDPC_K, K_LDPC_ITERS, K_MAX_CANDIDATES,
                                  K_MAX_MESSAGES, K_MIN_SCORE, TONE_SPACING_HZ)
 from .protocol.text import CallsignHashTable
-from .protocol.unpack import UnpackError, unpack77
+from .protocol.unpack import UnpackError, unpack77, unpack_spot
 
 
 @dataclass
 class Decode:
-    """One decoded message (reference `decoder_results` + full text)."""
+    """One decoded message (reference `decoder_results` + full text).
+
+    call/loc/is_cq come from the 77-bit payload FIELDS when the decode was
+    produced by the pipeline (protocol/unpack.py:unpack_spot); the text
+    heuristics below are only the fallback for hand-constructed instances
+    (the reference strtok-parses text, c:1509-1521, which misparses
+    'CQ RAEM KO85')."""
     text: str
     freq_hz: float
     time_sec: float
     score: int
     snr_db: float = 0.0
+    call_field: str | None = None
+    loc_field: str | None = None
+    cq_field: bool | None = None
 
     @property
     def is_cq(self) -> bool:
+        if self.cq_field is not None:
+            return self.cq_field
         return self.text.startswith("CQ")
 
     @property
     def call(self) -> str:
+        if self.call_field is not None:
+            return self.call_field
         parts = self.text.split()
         if self.is_cq:
             # 'CQ CALL GRID' or directed 'CQ DX|nnn|AAAA CALL GRID'
@@ -66,6 +79,8 @@ class Decode:
 
     @property
     def loc(self) -> str:
+        if self.loc_field is not None:
+            return self.loc_field
         if not self.is_cq:
             return ""
         parts = self.text.split()
@@ -167,13 +182,19 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
 def _decode_pass(i_s, q_s, hashes, num_candidates, ldpc_iters,
                  ap_cq=False):
     """One device pass + host unpack. Returns (per-channel decode lists,
-    per-channel subtraction params, raw out dict)."""
+    per-channel subtraction params, raw out dict).
+
+    `hashes` may be one CallsignHashTable shared by all channels, or a
+    list with one table per batch row (multi-band daemon: each band keeps
+    its own hashed-callsign context)."""
     out = jax.device_get(decode_window_device(
         jnp.asarray(i_s), jnp.asarray(q_s), num_candidates, ldpc_iters,
         ap_cq))
+    per_row_hashes = isinstance(hashes, (list, tuple))
     results = []
     sub_params = []
     for b in range(i_s.shape[0]):
+        row_hashes = hashes[b] if per_row_hashes else hashes
         seen = {}
         decodes = []
         params = []
@@ -181,7 +202,7 @@ def _decode_pass(i_s, q_s, hashes, num_candidates, ldpc_iters,
         for k in ok_idx:
             bits = np.unpackbits(out["packed"][b, k])
             try:
-                text = unpack77(bits[:77], hashes)
+                text, call, loc, is_cq = unpack_spot(bits[:77], row_hashes)
             except UnpackError:
                 continue
             if text in seen:
@@ -194,7 +215,9 @@ def _decode_pass(i_s, q_s, hashes, num_candidates, ldpc_iters,
             decodes.append(Decode(text=text, freq_hz=float(freq_hz),
                                   time_sec=float(time_sec),
                                   score=int(out["score"][b, k]),
-                                  snr_db=float(out["snr_db"][b, k])))
+                                  snr_db=float(out["snr_db"][b, k]),
+                                  call_field=call, loc_field=loc,
+                                  cq_field=is_cq))
             params.append((bits[:91],
                            int(out["freq_offset"][b, k]) * 2
                            + int(out["freq_sub"][b, k]),

@@ -156,9 +156,16 @@ def _is_nonstd_call(tok: str) -> bool:
     if (tok.endswith("/R") or tok.endswith("/P")) and \
             normalize_standard(tok[:-2]) is not None:
         return False
-    return (3 <= len(tok) <= 11 and all(c in HASH_ALPHABET for c in tok)
-            and any(c.isalpha() for c in tok) and any(c.isdigit() or c == "/"
-                                                      for c in tok))
+    # Letter-only calls (special/memorial stations like RAEM) are valid
+    # nonstandard calls; require >=4 chars for them so short words in free
+    # text ('TNX', 'GL') don't get misclassified, but keep 3-char forms
+    # when they contain a digit or '/'.
+    if not (3 <= len(tok) <= 11 and all(c in HASH_ALPHABET for c in tok)
+            and any(c.isalpha() for c in tok)):
+        return False
+    if any(c.isdigit() or c == "/" for c in tok):
+        return True
+    return len(tok) >= 4
 
 
 def _try_pack_nonstd(tokens):

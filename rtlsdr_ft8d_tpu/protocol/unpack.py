@@ -179,3 +179,60 @@ def unpack77(payload_bits: np.ndarray,
     # i3 5..7: not implemented — surface as typed raw payload
     v = _int_from_bits(bits[0:74])
     return f"<type{i3}:{v:019X}>"
+
+
+def unpack_spot(payload_bits: np.ndarray,
+                hashes: CallsignHashTable | None = None):
+    """Decode to (text, call, loc, is_cq) with call/loc taken from the
+    77-bit FIELDS, not from re-parsing the text.
+
+    The reference extracts spots by strtok'ing the text (rtlsdr_ft8d.c:
+    1509-1521), which misparses e.g. 'CQ RAEM KO85' (a genuine 4-letter
+    callsign looks like a directed-CQ modifier). The payload already
+    distinguishes the CQ token (c28a) from the sender (c28b), so derive
+    structurally for i3 1/2/4 and fall back to text only for free text."""
+    bits = np.asarray(payload_bits).astype(np.int64)
+    text = unpack77(bits, hashes)
+    i3 = _int_from_bits(bits[74:77])
+    call, loc, is_cq = "", "", False
+    if i3 in (1, 2):
+        n28a = _int_from_bits(bits[0:28])
+        is_cq = 2 <= n28a <= 532443          # CQ / CQ nnn / CQ AAAA
+        n28b = _int_from_bits(bits[29:57])
+        ipb = int(bits[57])
+        ir = int(bits[58])
+        g15 = _int_from_bits(bits[59:74])
+        try:
+            call = unpack_callsign_28(n28b, ipb, i3, hashes)
+        except UnpackError:
+            call = ""
+        if call.startswith("<"):
+            call = call.strip("<>").replace("...", "")
+        if not ir and g15 <= MAXGRID4:
+            loc = unpack_grid_15(g15, 0)
+    elif i3 == 3:
+        n28a = _int_from_bits(bits[1:29])
+        is_cq = 2 <= n28a <= 532443
+        try:
+            call = unpack_callsign_28(_int_from_bits(bits[29:57]), 0, i3,
+                                      hashes)
+        except UnpackError:
+            call = ""
+        if call.startswith("<"):
+            call = call.strip("<>").replace("...", "")
+    elif i3 == 4:
+        if int(bits[73]):                    # c1: "CQ CALL"
+            is_cq = True
+            n58 = _int_from_bits(bits[12:70])
+            from .text import HASH_ALPHABET
+            chars = []
+            for _ in range(11):
+                chars.append(HASH_ALPHABET[n58 % 38])
+                n58 //= 38
+            call = "".join(reversed(chars)).strip()
+    else:
+        is_cq = text.startswith("CQ ")
+        parts = text.split()
+        if is_cq and len(parts) >= 2:
+            call = parts[1]
+    return text, call, loc, is_cq

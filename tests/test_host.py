@@ -166,3 +166,151 @@ def test_daemon_synthetic_window():
     decodes = proc.process_fullrate(i8, q8)
     lib.ingest_ring_destroy(ring)
     assert "CQ K1JT FN20" in {d.text for d in decodes}
+
+
+def test_live_loop_utc_alignment(monkeypatch, capsys):
+    """Live-mode regression (round-1 bug): the loop must FLUSH the ring at
+    the first UTC boundary so window 0 starts at the boundary, not at
+    source-start time. A source started mid-window (t=7.3 s) feeding a
+    burst that begins 0.5 s after the t=15 boundary must decode with
+    DT ~ 0.5 s; without the flush the burst sits 8.2 s into the window and
+    cannot decode at all."""
+    from rtlsdr_ft8d_tpu import native
+    lib = native.load()
+    if lib is None:
+        pytest.skip("native lib unavailable")
+    from rtlsdr_ft8d_tpu.host import daemon, sources
+    from rtlsdr_ft8d_tpu.host.cli import build_parser
+    from rtlsdr_ft8d_tpu.host.sources import SyntheticSource
+    from rtlsdr_ft8d_tpu.protocol.constants import CAPTURE_RATE
+
+    start_t = 7.3                       # source starts mid-window
+    sig_t0 = 15.0 + 0.5                 # burst begins 0.5 s past boundary
+    burst = SyntheticSource(message="CQ K1JT FN20QI", baseband_hz=500.0,
+                            noise_sigma=0.0)._data     # u8 interleaved
+    burst_len = burst.shape[0] // 2
+    off = int(round((sig_t0 - start_t) * CAPTURE_RATE))
+
+    pushes = {"fn": None}
+
+    class Clock:
+        def __init__(self):
+            self.t = start_t
+            self.emitted = 0            # samples emitted since source start
+
+        def now(self):
+            return self.t
+
+        def sleep(self, dt):
+            self.t += dt
+            target = int((self.t - start_t) * CAPTURE_RATE)
+            if pushes["fn"] is None or target <= self.emitted:
+                return
+            s0, s1 = self.emitted, target
+            chunk = np.full(2 * (s1 - s0), 128, np.uint8)
+            b0, b1 = max(s0, off), min(s1, off + burst_len)
+            if b1 > b0:
+                chunk.reshape(-1, 2)[b0 - s0:b1 - s0] = \
+                    burst.reshape(-1, 2)[b0 - off:b1 - off]
+            pushes["fn"](chunk)
+            self.emitted = target
+
+    clock = Clock()
+    monkeypatch.setattr(daemon, "_now", clock.now)
+    monkeypatch.setattr(daemon, "_sleep", clock.sleep)
+
+    stopped = {"v": False}
+
+    class FakeRtl:
+        def __init__(self, **kw):
+            pass
+
+        def start(self, on_samples):
+            pushes["fn"] = on_samples
+
+        def stop(self):
+            stopped["v"] = True
+
+    monkeypatch.setattr(sources, "RtlSdrSource", FakeRtl)
+
+    captured = []
+    monkeypatch.setattr(
+        daemon, "print_spots",
+        lambda decodes, when, *a, **kw: captured.append(list(decodes)))
+
+    args = build_parser().parse_args(
+        ["-f", "20m", "-c", "T1ST", "-l", "AA00", "-n", "1", "-x"])
+    rc = daemon.run_daemon(args)
+    assert rc == 0
+    assert stopped["v"]
+    assert len(captured) == 1
+    texts = {d.text: d for d in captured[0]}
+    assert "CQ K1JT FN20QI" in texts or "CQ K1JT FN20" in texts
+    d = next(iter(captured[0]))
+    assert 0.1 < d.time_sec < 0.9, d.time_sec
+
+
+def test_sigterm_stops_daemon_and_sources(monkeypatch):
+    """A SIGTERM (systemd stop) must exit the loop cleanly and call
+    source.stop() — the reference installs POSIX handlers for this
+    (rtlsdr_ft8d.c:1203-1208); round 1 only handled KeyboardInterrupt."""
+    import os
+    import signal as _signal
+    import threading
+
+    from rtlsdr_ft8d_tpu import native
+    lib = native.load()
+    if lib is None:
+        pytest.skip("native lib unavailable")
+    from rtlsdr_ft8d_tpu.host import daemon, sources
+    from rtlsdr_ft8d_tpu.host.cli import build_parser
+    from rtlsdr_ft8d_tpu.protocol.constants import CAPTURE_RATE
+
+    pushes = {"fn": None}
+
+    class Clock:
+        def __init__(self):
+            self.t = 0.0
+            self.emitted = 0
+
+        def now(self):
+            return self.t
+
+        def sleep(self, dt):
+            self.t += dt
+            target = int(self.t * CAPTURE_RATE)
+            if pushes["fn"] is not None and target > self.emitted:
+                pushes["fn"](np.full(2 * (target - self.emitted), 128,
+                                     np.uint8))
+                self.emitted = target
+
+    clock = Clock()
+    monkeypatch.setattr(daemon, "_now", clock.now)
+    monkeypatch.setattr(daemon, "_sleep", clock.sleep)
+
+    stopped = {"v": False}
+
+    class FakeRtl:
+        def __init__(self, **kw):
+            pass
+
+        def start(self, on_samples):
+            pushes["fn"] = on_samples
+
+        def stop(self):
+            stopped["v"] = True
+
+    monkeypatch.setattr(sources, "RtlSdrSource", FakeRtl)
+    monkeypatch.setattr(daemon, "print_spots", lambda *a, **kw: None)
+
+    killer = threading.Timer(1.0, os.kill, (os.getpid(), _signal.SIGTERM))
+    killer.start()
+    args = build_parser().parse_args(
+        ["-f", "20m", "-c", "T1ST", "-l", "AA00", "-x"])  # maxloop=0: run forever
+    rc = daemon.run_daemon(args)
+    killer.cancel()
+    assert rc == 0
+    assert stopped["v"]
+    # the previous handler must be restored
+    assert _signal.getsignal(_signal.SIGTERM) in (_signal.SIG_DFL,
+                                                  _signal.Handlers.SIG_DFL)

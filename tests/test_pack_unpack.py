@@ -85,3 +85,29 @@ def test_rtty_does_not_capture_free_text():
     from rtlsdr_ft8d_tpu.protocol.unpack import unpack77 as u
     msg = "HELO 579 0013"   # 13 chars, non-call tokens
     assert u(pack77(msg)) == msg   # must stay free text
+
+
+def test_unpack_spot_structural_fields():
+    """Spot call/loc come from the payload fields, not text re-parsing
+    (the reference's strtok parse misreads 'CQ RAEM KO85')."""
+    from rtlsdr_ft8d_tpu.protocol.unpack import unpack_spot
+
+    cases = [
+        ("CQ K1JT FN20", "K1JT", "FN20", True),
+        ("CQ DX W9XYZ EN37", "W9XYZ", "EN37", True),
+        ("CQ 021 K1ABC FN42", "K1ABC", "FN42", True),
+        ("CQ TEST K1ABC FN42", "K1ABC", "FN42", True),
+        ("K1ABC W9XYZ EN37", "W9XYZ", "EN37", False),
+        ("K1ABC W9XYZ R-09", "W9XYZ", "", False),
+    ]
+    for text, call, loc, is_cq in cases:
+        t, c, l, q = unpack_spot(pack77(text))
+        assert t == text
+        assert c == call, (text, c)
+        assert l == loc, (text, l)
+        assert q == is_cq, text
+    # nonstandard call in a CQ (type 4): 'CQ RAEM' — the text heuristic the
+    # reference uses would see a directed-CQ modifier; the c1 field says CQ
+    # and the c58 field carries the call
+    t, c, l, q = unpack_spot(pack77("CQ RAEM"))
+    assert t == "CQ RAEM" and c == "RAEM" and q is True
