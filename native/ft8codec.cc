@@ -90,7 +90,8 @@ bool normalize_std(const char* call, char out[7]) {
   char padded[7];
   if (n >= 3 && isdigit(c[2])) {
     snprintf(padded, sizeof padded, "%-6s", c);
-  } else if (n >= 2 && isdigit(c[1])) {
+  } else if (n >= 2 && n <= 5 && isdigit(c[1])) {
+    // space-prefixed form fits only 5 input chars; 6 would truncate
     char tmp[8];
     snprintf(tmp, sizeof tmp, " %s", c);
     snprintf(padded, sizeof padded, "%-6s", tmp);
@@ -171,12 +172,14 @@ bool pack_g15(const char* field, int* g15, int* ir) {
   return false;
 }
 
-void unpack_c28(uint32_t n28, int ip, int i3, char* out, size_t cap) {
+// Returns false on reserved tokens / out-of-range standard-call indices
+// (matching the Python unpacker's UnpackError semantics).
+bool unpack_c28(uint32_t n28, int ip, int i3, char* out, size_t cap) {
   if (n28 < kNTokens) {
-    if (n28 == 0) { snprintf(out, cap, "DE"); return; }
-    if (n28 == 1) { snprintf(out, cap, "QRZ"); return; }
-    if (n28 == 2) { snprintf(out, cap, "CQ"); return; }
-    if (n28 <= 1002) { snprintf(out, cap, "CQ %03u", n28 - 3); return; }
+    if (n28 == 0) { snprintf(out, cap, "DE"); return true; }
+    if (n28 == 1) { snprintf(out, cap, "QRZ"); return true; }
+    if (n28 == 2) { snprintf(out, cap, "CQ"); return true; }
+    if (n28 <= 1002) { snprintf(out, cap, "CQ %03u", n28 - 3); return true; }
     if (n28 <= 532443) {
       uint32_t m = n28 - 1003;
       char letters[5]; int n = 0;
@@ -185,19 +188,22 @@ void unpack_c28(uint32_t n28, int ip, int i3, char* out, size_t cap) {
       for (int i = 0; i < n; ++i) rev[i] = letters[n - 1 - i];
       rev[n] = 0;
       snprintf(out, cap, "CQ %s", rev);
-      return;
+      return true;
     }
-    snprintf(out, cap, "<?>");
-    return;
+    return false;                       // reserved token range
   }
-  if (n28 < kNTokens + kMax22) { snprintf(out, cap, "<...>"); return; }
+  if (n28 < kNTokens + kMax22) {
+    snprintf(out, cap, "<...>");
+    return true;
+  }
   uint64_t n = n28 - kNTokens - kMax22;
   char c6 = kA4[n % 27]; n /= 27;
   char c5 = kA4[n % 27]; n /= 27;
   char c4 = kA4[n % 27]; n /= 27;
   char c3 = kA3[n % 10]; n /= 10;
   char c2 = kA2[n % 36]; n /= 36;
-  char c1 = n < strlen(kA1) ? kA1[n] : '?';
+  if (n >= strlen(kA1)) return false;   // bad standard callsign index
+  char c1 = kA1[n];
   char buf[8] = {c1, c2, c3, c4, c5, c6, 0};
   // trim
   char* s = buf;
@@ -205,6 +211,7 @@ void unpack_c28(uint32_t n28, int ip, int i3, char* out, size_t cap) {
   char* e = s + strlen(s);
   while (e > s && e[-1] == ' ') *--e = 0;
   snprintf(out, cap, "%s%s", s, ip ? (i3 == 2 ? "/P" : "/R") : "");
+  return true;
 }
 
 void unpack_g15(int g15, int ir, char* out, size_t cap) {
@@ -341,6 +348,109 @@ bool try_pack_rtty(char toks[8][16], int ntok, uint8_t* bits) {
   return true;
 }
 
+// Type 0.3/0.4 (ARRL Field Day): "A B [R] <ntx><class> <section>"
+// -> c28 c28 R1 n4 k3 S7 (protocol/pack.py:_try_pack_fieldday).
+bool try_pack_fieldday(char toks[8][16], int ntok, uint8_t* bits) {
+  if (ntok < 4) return false;
+  const char* section = toks[ntok - 1];
+  int s7 = -1;
+  for (int i = 0; i < kNumSections; ++i)
+    if (!strcmp(section, kArrlSections[i])) { s7 = i + 1; break; }
+  if (s7 < 0) return false;
+  const char* exch = toks[ntok - 2];
+  size_t el = strlen(exch);
+  if (el < 2 || el > 3) return false;
+  char last = exch[el - 1];
+  if (last < 'A' || last > 'F') return false;
+  for (size_t i = 0; i + 1 < el; ++i)
+    if (!isdigit(exch[i])) return false;
+  int ntx = atoi(exch);                 // stops at the class letter
+  if (ntx < 1 || ntx > 32) return false;
+  int rem = ntok - 2, ir = 0;
+  if (rem == 3 && !strcmp(toks[2], "R")) { ir = 1; rem = 2; }
+  if (rem != 2) return false;
+  char s6[7];
+  if (!normalize_std(toks[0], s6) || !normalize_std(toks[1], s6))
+    return false;
+  int64_t a = pack_c28(toks[0]), b = pack_c28(toks[1]);
+  if (a < 0 || b < 0) return false;
+  int n3 = ntx <= 16 ? 3 : 4;
+  int intx = ntx <= 16 ? ntx - 1 : ntx - 17;
+  set_bits(bits, 0, a, 28);
+  set_bits(bits, 28, b, 28);
+  bits[56] = ir;
+  set_bits(bits, 57, intx, 4);
+  set_bits(bits, 61, last - 'A', 3);
+  set_bits(bits, 64, s7, 7);
+  set_bits(bits, 71, n3, 3);
+  set_bits(bits, 74, 0, 3);
+  return true;
+}
+
+// Nonstandard-call predicate, matching protocol/pack.py:_is_nonstd_call:
+// 3-11 chars from the base-38 alphabet with at least one letter, plus a
+// digit or '/' (or length >= 4 for letter-only special calls).
+bool is_nonstd_call(const char* tok) {
+  char s6[7];
+  if (normalize_std(tok, s6)) return false;
+  if (!strcmp(tok, "CQ") || !strcmp(tok, "DE") || !strcmp(tok, "QRZ"))
+    return false;
+  size_t n = strlen(tok);
+  if ((n > 2) && (!strcmp(tok + n - 2, "/R") || !strcmp(tok + n - 2, "/P"))) {
+    char base[16];
+    snprintf(base, sizeof base, "%.*s", static_cast<int>(n - 2), tok);
+    if (normalize_std(base, s6)) return false;
+  }
+  if (n < 3 || n > 11) return false;
+  bool alpha = false, digslash = false;
+  for (const char* p = tok; *p; ++p) {
+    if (index_of(kHashAlpha, *p) < 0) return false;
+    if (isalpha(*p)) alpha = true;
+    if (isdigit(*p) || *p == '/') digslash = true;
+  }
+  if (!alpha) return false;
+  return digslash || n >= 4;
+}
+
+// Type 4: h12 c58 h1 r2 c1 — one nonstandard call sent in full
+// (protocol/pack.py:_try_pack_nonstd).
+bool try_pack_nonstd(char toks[8][16], int ntok, uint8_t* bits) {
+  int r2 = 0;
+  int n = ntok;
+  if (n >= 1) {
+    const char* last = toks[n - 1];
+    if (!strcmp(last, "RRR")) { r2 = 1; --n; }
+    else if (!strcmp(last, "RR73")) { r2 = 2; --n; }
+    else if (!strcmp(last, "73")) { r2 = 3; --n; }
+  }
+  if (n != 2) return false;
+  int c1, h1;
+  uint64_t h12;
+  const char* call;
+  char s6[7];
+  if (!strcmp(toks[0], "CQ") && is_nonstd_call(toks[1])) {
+    c1 = 1; h1 = 0; h12 = 0; call = toks[1];
+  } else if (is_nonstd_call(toks[0]) && normalize_std(toks[1], s6)) {
+    c1 = 0; h1 = 1; h12 = hash_call(toks[1], 12); call = toks[0];
+  } else if (normalize_std(toks[0], s6) && is_nonstd_call(toks[1])) {
+    c1 = 0; h1 = 0; h12 = hash_call(toks[0], 12); call = toks[1];
+  } else {
+    return false;
+  }
+  uint64_t n58 = 0;
+  char padded[12];
+  snprintf(padded, sizeof padded, "%11s", call);
+  for (int i = 0; i < 11; ++i)
+    n58 = n58 * 38 + index_of(kHashAlpha, padded[i]);
+  set_bits(bits, 0, h12, 12);
+  set_bits(bits, 12, n58, 58);
+  bits[70] = h1;
+  set_bits(bits, 71, r2, 2);
+  bits[73] = c1;
+  set_bits(bits, 74, 4, 3);
+  return true;
+}
+
 }  // namespace
 
 // pack77: message text -> 77 bits; returns 0 on success (standard/free
@@ -376,6 +486,8 @@ int ft8_pack77(const char* text_in, uint8_t* bits77) {
 
   if (try_pack_dxpedition(toks, ntok, bits77)) return 0;
   if (try_pack_rtty(toks, ntok, bits77)) return 0;
+  if (try_pack_fieldday(toks, ntok, bits77)) return 0;
+  if (try_pack_nonstd(toks, ntok, bits77)) return 0;
 
   // try standard type 1/2
   int i3 = 1;
@@ -490,9 +602,28 @@ int ft8_unpack77(const uint8_t* bits77, char* out, size_t cap) {
       uint32_t n28b = static_cast<uint32_t>(get_bits(bits77, 28, 56 - 28));
       int r5 = static_cast<int>(get_bits(bits77, 66, 5));
       char ca[20], cb[20];
-      unpack_c28(n28a, 0, 1, ca, sizeof ca);
-      unpack_c28(n28b, 0, 1, cb, sizeof cb);
+      if (!unpack_c28(n28a, 0, 1, ca, sizeof ca) ||
+          !unpack_c28(n28b, 0, 1, cb, sizeof cb))
+        return -1;
       snprintf(out, cap, "%s RR73; %s <...> %+03d", ca, cb, 2 * r5 - 30);
+      return 0;
+    }
+    if (n3 == 3 || n3 == 4) {
+      // ARRL Field Day: c28 c28 R1 n4 k3 S7
+      uint32_t n28a = static_cast<uint32_t>(get_bits(bits77, 0, 28));
+      uint32_t n28b = static_cast<uint32_t>(get_bits(bits77, 28, 28));
+      int ir = bits77[56];
+      int intx = static_cast<int>(get_bits(bits77, 57, 4));
+      int klass = static_cast<int>(get_bits(bits77, 61, 3));
+      int s7 = static_cast<int>(get_bits(bits77, 64, 7));
+      if (klass > 5 || s7 < 1 || s7 > kNumSections) return -1;
+      int ntx = n3 == 3 ? intx + 1 : intx + 17;
+      char ca[20], cb[20];
+      if (!unpack_c28(n28a, 0, 1, ca, sizeof ca) ||
+          !unpack_c28(n28b, 0, 1, cb, sizeof cb))
+        return -1;
+      snprintf(out, cap, "%s %s %s%d%c %s", ca, cb, ir ? "R " : "", ntx,
+               'A' + klass, kArrlSections[s7 - 1]);
       return 0;
     }
     if (n3 == 5) {
@@ -502,7 +633,14 @@ int ft8_unpack77(const uint8_t* bits77, char* out, size_t cap) {
                static_cast<unsigned long long>(lo));
       return 0;
     }
-    return -1;
+    // n3 2 (EU VHF) / 6 / 7: typed raw payload, matching unpack.py
+    {
+      uint64_t hi = get_bits(bits77, 0, 7), lo = get_bits(bits77, 7, 64);
+      snprintf(out, cap, "<type0.%d:%02llX%016llX>", n3,
+               static_cast<unsigned long long>(hi),
+               static_cast<unsigned long long>(lo));
+      return 0;
+    }
   }
   if (i3 == 3) {
     // RTTY RU: t1 c28 c28 R1 r3 s13 -> "[TU; ]A B [R ]5N9 NNNN"
@@ -513,8 +651,9 @@ int ft8_unpack77(const uint8_t* bits77, char* out, size_t cap) {
     int r3 = static_cast<int>(get_bits(bits77, 58, 3));
     int s13 = static_cast<int>(get_bits(bits77, 61, 13));
     char ca[20], cb[20];
-    unpack_c28(n28a, 0, 3, ca, sizeof ca);
-    unpack_c28(n28b, 0, 3, cb, sizeof cb);
+    if (!unpack_c28(n28a, 0, 3, ca, sizeof ca) ||
+        !unpack_c28(n28b, 0, 3, cb, sizeof cb))
+      return -1;
     snprintf(out, cap, "%s%s %s %s5%d9 %04d", tu ? "TU; " : "", ca, cb,
              ir ? "R " : "", r3 + 2, s13);
     return 0;
@@ -527,8 +666,9 @@ int ft8_unpack77(const uint8_t* bits77, char* out, size_t cap) {
     int ir = bits77[58];
     int g15 = static_cast<int>(get_bits(bits77, 59, 15));
     char ca[20], cb[20], fc[16];
-    unpack_c28(n28a, ipa, i3, ca, sizeof ca);
-    unpack_c28(n28b, ipb, i3, cb, sizeof cb);
+    if (!unpack_c28(n28a, ipa, i3, ca, sizeof ca) ||
+        !unpack_c28(n28b, ipb, i3, cb, sizeof cb))
+      return -1;
     unpack_g15(g15, ir, fc, sizeof fc);
     if (fc[0])
       snprintf(out, cap, "%s %s %s", ca, cb, fc);
@@ -549,6 +689,8 @@ int ft8_unpack77(const uint8_t* bits77, char* out, size_t cap) {
     call[11] = 0;
     char* s = call;
     while (*s == ' ') ++s;
+    char* e4 = s + strlen(s);
+    while (e4 > s && e4[-1] == ' ') *--e4 = 0;
     const char* rpt[] = {"", "RRR", "RR73", "73"};
     if (c1)
       snprintf(out, cap, "CQ %s%s%s", s, r2 ? " " : "", rpt[r2]);
@@ -558,8 +700,14 @@ int ft8_unpack77(const uint8_t* bits77, char* out, size_t cap) {
       snprintf(out, cap, "%s <...>%s%s", s, r2 ? " " : "", rpt[r2]);
     return 0;
   }
-  snprintf(out, cap, "<type%d>", i3);
-  return -2;
+  // i3 5..7: typed raw payload (74 bits), matching unpack.py
+  {
+    uint64_t hi = get_bits(bits77, 0, 10), lo = get_bits(bits77, 10, 64);
+    snprintf(out, cap, "<type%d:%03llX%016llX>", i3,
+             static_cast<unsigned long long>(hi),
+             static_cast<unsigned long long>(lo));
+    return 0;
+  }
 }
 
 uint32_t ft8_hash22(const char* call) {

@@ -258,6 +258,45 @@ def _try_pack_rtty(tokens):
     return np.array(bits, dtype=np.uint8)
 
 
+def _try_pack_fieldday(tokens):
+    """Type 0.3/0.4 (ARRL Field Day): 'A B [R] <ntx><class> <section>'
+    -> c28 c28 R1 n4 k3 S7, n3=3 for ntx 1-16, n3=4 for 17-32."""
+    from .text import ARRL_SECTIONS
+    toks = list(tokens)
+    if len(toks) < 4 or toks[-1] not in ARRL_SECTIONS:
+        return None
+    section = ARRL_SECTIONS.index(toks[-1]) + 1          # S7 is 1-based
+    exch = toks[-2]
+    if not (2 <= len(exch) <= 3 and exch[:-1].isdigit()
+            and exch[-1] in "ABCDEF"):
+        return None
+    ntx = int(exch[:-1])
+    if not 1 <= ntx <= 32:
+        return None
+    klass = ord(exch[-1]) - ord("A")
+    rest = toks[:-2]
+    ir = 0
+    if rest and rest[-1] == "R":
+        ir = 1
+        rest = rest[:-1]
+    if len(rest) != 2:
+        return None
+    if not all(normalize_standard(c) for c in rest):
+        return None
+    try:
+        n28a = pack_callsign_28(rest[0])
+        n28b = pack_callsign_28(rest[1])
+    except PackError:
+        return None
+    n3 = 3 if ntx <= 16 else 4
+    intx = ntx - 1 if ntx <= 16 else ntx - 17
+    bits = (_bits_from_int(n28a, 28) + _bits_from_int(n28b, 28) + [ir]
+            + _bits_from_int(intx, 4) + _bits_from_int(klass, 3)
+            + _bits_from_int(section, 7)
+            + _bits_from_int(n3, 3) + _bits_from_int(0, 3))
+    return np.array(bits, dtype=np.uint8)
+
+
 def pack77(text: str) -> np.ndarray:
     """Pack message text into 77 payload bits; raises PackError on failure."""
     text = " ".join(text.strip().upper().split())
@@ -266,6 +305,9 @@ def pack77(text: str) -> np.ndarray:
     if out is not None:
         return out
     out = _try_pack_rtty(tokens)
+    if out is not None:
+        return out
+    out = _try_pack_fieldday(tokens)
     if out is not None:
         return out
     nonstd = [t for t in tokens if _is_nonstd_call(t)]

@@ -20,6 +20,23 @@ NTOKENS = 2063592
 MAX22 = 4194304
 MAXGRID4 = 32400
 
+# ARRL/RAC section abbreviations for Field Day messages (i3=0, n3=3/4),
+# indexed by the 7-bit S7 field (1-based; 0 is unused). Transcribed from
+# ARRL's published section list in the ordering used by amateur contest
+# software (alphabetical); this table is the single source of truth — the
+# native header's copy is generated from it (scripts/gen_native_tables.py).
+ARRL_SECTIONS = [
+    "AB", "AK", "AL", "AR", "AZ", "BC", "CO", "CT", "DE", "EB",
+    "EMA", "ENY", "EPA", "EWA", "GA", "GTA", "IA", "ID", "IL", "IN",
+    "KS", "KY", "LA", "LAX", "MAR", "MB", "MDC", "ME", "MI", "MN",
+    "MO", "MS", "MT", "NC", "ND", "NE", "NFL", "NH", "NL", "NLI",
+    "NM", "NNJ", "NNY", "NT", "NTX", "NV", "OH", "OK", "ONE", "ONN",
+    "ONS", "OR", "ORG", "PAC", "PR", "QC", "RI", "SB", "SC", "SCV",
+    "SD", "SDG", "SF", "SFL", "SJV", "SK", "SNJ", "STX", "TN", "VA",
+    "VI", "VT", "WCF", "WI", "WMA", "WNY", "WPA", "WTX", "WV", "WWA",
+    "WY", "DX",
+]
+
 
 def is_standard_callsign(call: str) -> bool:
     """True if `call` fits the 6-char [A1][A2][A3][A4][A4][A4] template."""

@@ -140,10 +140,31 @@ def unpack77(payload_bits: np.ndarray,
             other = hashes.lookup(h10, 10) if hashes else None
             other_s = f"<{other}>" if other else "<...>"
             return f"{ca} RR73; {cb} {other_s} {2 * r5 - 30:+03d}"
+        if n3 in (3, 4):
+            # ARRL Field Day: c28 c28 R1 n4 k3 S7; ntx 1-16 (n3=3) or
+            # 17-32 (n3=4)
+            from .text import ARRL_SECTIONS
+            n28a = _int_from_bits(bits[0:28])
+            n28b = _int_from_bits(bits[28:56])
+            ir = int(bits[56])
+            intx = _int_from_bits(bits[57:61])
+            klass = _int_from_bits(bits[61:64])
+            s7 = _int_from_bits(bits[64:71])
+            ca = unpack_callsign_28(n28a, 0, 1, hashes)
+            cb = unpack_callsign_28(n28b, 0, 1, hashes)
+            ntx = intx + 1 if n3 == 3 else intx + 17
+            if klass > 5 or not 1 <= s7 <= len(ARRL_SECTIONS):
+                raise UnpackError(f"bad Field Day exchange {klass}/{s7}")
+            sec = ARRL_SECTIONS[s7 - 1]
+            parts = [ca, cb] + (["R"] if ir else []) \
+                + [f"{ntx}{chr(ord('A') + klass)}", sec]
+            return " ".join(parts)
         if n3 == 5:
             v = _int_from_bits(bits[0:71])
             return f"{v:018X}"
-        raise UnpackError(f"unsupported 0.{n3} message")
+        # n3 2 (EU VHF) / 6 / 7: surface as typed raw payload
+        v = _int_from_bits(bits[0:71])
+        return f"<type0.{n3}:{v:018X}>"
     if i3 in (1, 2):
         n28a = _int_from_bits(bits[0:28]); ipa = int(bits[28])
         n28b = _int_from_bits(bits[29:57]); ipb = int(bits[57])

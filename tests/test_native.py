@@ -42,7 +42,10 @@ CORPUS = ["CQ K1JT FN20", "K1ABC W9XYZ EN37", "W9XYZ K1ABC R-09",
           "K1ABC W9XYZ RR73", "CQ DX W9XYZ EN37", "CQ 021 K1ABC FN42",
           "TNX BOB 73 GL", "DE VA2GKA FN35", "CQ TEST K1ABC/R FN42",
           "CQ K1JT FN20QI", "TU; W9XYZ K1ABC R 579 0013",
-          "K1ABC W9XYZ 559 0007", "K1ABC RR73; W9XYZ <KH1/KH7Z> -08"]
+          "K1ABC W9XYZ 559 0007", "K1ABC RR73; W9XYZ <KH1/KH7Z> -08",
+          "K1ABC W9XYZ 6A WI", "W9XYZ K1ABC R 17B EMA",
+          "K1ABC W9XYZ R 32F DX", "CQ PJ4/K1ABC", "PJ4/K1ABC W9XYZ RR73",
+          "W9XYZ PJ4/K1ABC 73", "CQ RAEM"]
 
 
 @pytest.mark.parametrize("msg", CORPUS)
