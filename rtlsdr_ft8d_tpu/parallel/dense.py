@@ -23,8 +23,8 @@ from ..ops.ldpc import bp_decode, crc_check
 from ..ops.llr import extract_llrs
 from ..ops.sync import find_sync
 from ..ops.waterfall import waterfall
-from ..protocol.constants import (FT8_LDPC_K, K_LDPC_ITERS,
-                                  K_MAX_CANDIDATES, K_MIN_SCORE)
+from ..protocol.constants import (K_LDPC_ITERS, K_MAX_CANDIDATES,
+                                  K_MIN_SCORE)
 
 CHANNEL_AXIS = "ch"
 
@@ -47,11 +47,14 @@ def decode_window_dense(i_samples, q_samples, mesh: Mesh,
       global_budget: total candidates across all channels that get LDPC
         iterations this window (the rest are masked out).
 
-    Returns the per-channel dict of decode_window_device plus 'selected'
-    (B, K) bool — which candidates made the global cut.
+    Returns the compacted per-channel dict of decode_window_device
+    (survivors bit-packed on device — at pod scale the host must never see
+    the full (B, K, 91) candidate tensors) plus 'n_selected' (B,) int32 —
+    how many of each channel's candidates made the global cut.
     """
+    from ..pipeline import compact_survivors
+
     axes = tuple(mesh.axis_names)
-    n_dev = int(np.prod([mesh.shape[a] for a in axes]))
 
     def local(i_loc, q_loc):
         wf = waterfall(i_loc, q_loc)
@@ -73,19 +76,10 @@ def decode_window_dense(i_samples, q_samples, mesh: Mesh,
         hard, errors = bp_decode(llrs, ldpc_iters)
         errors = jnp.where(selected, errors, 83)
         ok = (errors == 0) & crc_check(hard) & selected
-        return (hard[..., :FT8_LDPC_K].astype(jnp.int8),
-                errors.astype(jnp.int32), ok, selected,
-                scores.astype(jnp.int32),
-                cand["time_sub"].astype(jnp.int32),
-                cand["freq_sub"].astype(jnp.int32),
-                cand["time_offset"].astype(jnp.int32),
-                cand["freq_offset"].astype(jnp.int32))
+        out = compact_survivors(wf, cand, hard, errors, ok)
+        out["n_selected"] = jnp.sum(selected.astype(jnp.int32), axis=-1)
+        return out
 
     spec = P(axes)   # shard channel axis over all mesh axes
-    fn = shard_map(local, mesh=mesh, in_specs=(spec, spec),
-                   out_specs=(spec,) * 9)
-    hard, errors, ok, selected, score, ts, fs, to, fo = fn(
-        jnp.asarray(i_samples), jnp.asarray(q_samples))
-    return {"hard": hard, "ldpc_errors": errors, "crc_ok": ok,
-            "selected": selected, "score": score, "time_sub": ts,
-            "freq_sub": fs, "time_offset": to, "freq_offset": fo}
+    fn = shard_map(local, mesh=mesh, in_specs=(spec, spec), out_specs=spec)
+    return fn(jnp.asarray(i_samples), jnp.asarray(q_samples))

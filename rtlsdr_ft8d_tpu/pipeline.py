@@ -145,10 +145,15 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
         hard = jnp.where(ok_ap[..., None], hard_ap, hard)
         ok = ok | ok_ap
 
-    # Device-side survivor compaction: keep at most K_MAX_MESSAGES (50, the
-    # reference's per-window cap, rtlsdr_ft8d.h:46) CRC-clean candidates per
-    # channel and bit-pack their 91 message bits into 12 bytes — the host
-    # only ever sees a few KB per window instead of the full candidate set.
+    return compact_survivors(wf, cand, hard, errors, ok)
+
+
+def compact_survivors(wf, cand, hard, errors, ok):
+    """Device-side survivor compaction: keep at most K_MAX_MESSAGES (50, the
+    reference's per-window cap, rtlsdr_ft8d.h:46) CRC-clean candidates per
+    channel and bit-pack their 91 message bits into 12 bytes — the host
+    only ever sees a few KB per window instead of the full candidate set.
+    Shared by the single-chip graph and the dense-band sharded path."""
     order = jnp.argsort(jnp.where(ok, -cand["score"], 1 << 20), axis=-1,
                         stable=True)[..., :K_MAX_MESSAGES]
     take = lambda x: jnp.take_along_axis(x, order, axis=-1)

@@ -13,10 +13,11 @@ from rtlsdr_ft8d_tpu.protocol.unpack import unpack77
 
 def _decode_texts(out, b):
     texts = set()
-    ok_idx = np.nonzero(np.asarray(out["crc_ok"])[b])[0]
-    hard = np.asarray(out["hard"])
+    ok_idx = np.nonzero(np.asarray(out["ok"])[b])[0]
+    packed = np.asarray(out["packed"])
     for k in ok_idx:
-        texts.add(unpack77(hard[b, k][:77]))
+        bits = np.unpackbits(packed[b, k])
+        texts.add(unpack77(bits[:77]))
     return texts
 
 
@@ -34,7 +35,11 @@ def test_dense_decode_2d_mesh():
     for b in range(16):
         assert msgs[b % 2] in _decode_texts(out, b), b
     # budget respected: selected count <= budget
-    assert int(np.asarray(out["selected"]).sum()) <= 400
+    assert int(np.asarray(out["n_selected"]).sum()) <= 400
+    # pod-scale contract: outputs are the COMPACTED survivor form (12-byte
+    # packed payloads, <= 50/channel), never full (B, K, 91) tensors
+    assert np.asarray(out["packed"]).shape[1:] == (50, 12)
+    assert "hard" not in out
 
 
 def test_dense_budget_prioritizes_strong_signals():
@@ -52,6 +57,6 @@ def test_dense_budget_prioritizes_strong_signals():
                               np.imag(batch).astype(np.float32),
                               mesh, global_budget=8)
     assert "CQ K1JT FN20" in _decode_texts(out, 3)
-    sel = np.asarray(out["selected"])
+    sel = np.asarray(out["n_selected"])
     # nearly all selections concentrate on the strong channel
-    assert sel[3].sum() >= sel.sum() * 0.5
+    assert sel[3] >= sel.sum() * 0.5
