@@ -129,6 +129,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "(FFTW-wisdom analogue)")
     p.add_argument("--psk-host", default=None, help="PSKreporter host")
     p.add_argument("--psk-port", type=int, default=4739)
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-host mode: JAX distributed coordinator "
+                        "address (run one process per host; host 0's "
+                        "address)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host mode: total number of processes")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="multi-host mode: this process's rank (0-based)")
     p.add_argument("--version", action="version",
                    version=f"tpu_ft8d v{VERSION}")
     return p
@@ -143,6 +151,10 @@ def main(argv=None):
     if args.compile_cache is not None:
         from .cache import enable_compilation_cache
         enable_compilation_cache(args.compile_cache or None)
+
+    if args.coordinator or args.num_processes:
+        from ..parallel.distributed import initialize
+        initialize(args.coordinator, args.num_processes, args.process_id)
 
     if args.selftest:
         from .selftest import run_selftest
