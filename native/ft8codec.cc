@@ -714,4 +714,113 @@ uint32_t ft8_hash22(const char* call) {
   return static_cast<uint32_t>(hash_call(call, 22));
 }
 
+// Batched spot unpack for the host hot path (pipeline host unpack at
+// 1000+ channels): each record carries the rendered text, the spot fields
+// derived from the payload (protocol/unpack.py:unpack_spot), and the
+// exact hash-table side effects the Python unpacker would apply (add_a/
+// add_b), so Python only falls back per-record when a hash LOOKUP is
+// needed (has_hash: text contains '<').
+struct Ft8SpotText {
+  char text[64];
+  char call[16];
+  char loc[8];
+  char add_a[16];
+  char add_b[16];
+  uint8_t is_cq;
+  uint8_t has_hash;
+  int8_t rc;
+  uint8_t pad_;
+};
+
+static void spot_fields(const uint8_t* bits, Ft8SpotText* r) {
+  int i3 = static_cast<int>(get_bits(bits, 74, 3));
+  char ca[20], cb[20];
+  if (i3 == 1 || i3 == 2) {
+    uint32_t n28a = static_cast<uint32_t>(get_bits(bits, 0, 28));
+    uint32_t n28b = static_cast<uint32_t>(get_bits(bits, 29, 28));
+    int ipb = bits[57];
+    int ir = bits[58];
+    int g15 = static_cast<int>(get_bits(bits, 59, 15));
+    r->is_cq = (n28a >= 2 && n28a <= 532443) ? 1 : 0;
+    if (unpack_c28(n28b, ipb, i3, cb, sizeof cb)) {
+      if (cb[0] == '<') r->call[0] = 0;
+      else snprintf(r->call, sizeof r->call, "%s", cb);
+    }
+    if (!ir && g15 <= static_cast<int>(kMaxGrid4))
+      unpack_g15(g15, 0, r->loc, sizeof r->loc);
+    // hash-add side effects (mirrors unpack77's adds, incl. DE/QRZ quirk)
+    if (unpack_c28(n28a, bits[28], i3, ca, sizeof ca) && ca[0] != '<' &&
+        strncmp(ca, "CQ", 2)) {
+      char* sl = strstr(ca, "/R"); if (sl) *sl = 0;
+      sl = strstr(ca, "/P"); if (sl) *sl = 0;
+      snprintf(r->add_a, sizeof r->add_a, "%s", ca);
+    }
+    if (cb[0] != '<' && strncmp(cb, "CQ", 2)) {
+      char* sl = strstr(cb, "/R"); if (sl) *sl = 0;
+      sl = strstr(cb, "/P"); if (sl) *sl = 0;
+      snprintf(r->add_b, sizeof r->add_b, "%s", cb);
+    }
+    return;
+  }
+  if (i3 == 3) {
+    uint32_t n28a = static_cast<uint32_t>(get_bits(bits, 1, 28));
+    uint32_t n28b = static_cast<uint32_t>(get_bits(bits, 29, 28));
+    r->is_cq = (n28a >= 2 && n28a <= 532443) ? 1 : 0;
+    if (unpack_c28(n28b, 0, 3, cb, sizeof cb) && cb[0] != '<')
+      snprintf(r->call, sizeof r->call, "%s", cb);
+    return;
+  }
+  if (i3 == 4) {
+    uint64_t n58 = get_bits(bits, 12, 58);
+    int c1 = bits[73];
+    char call[12];
+    for (int i = 10; i >= 0; --i) {
+      call[i] = kHashAlpha[n58 % 38];
+      n58 /= 38;
+    }
+    call[11] = 0;
+    char* s = call;
+    while (*s == ' ') ++s;
+    char* e = s + strlen(s);
+    while (e > s && e[-1] == ' ') *--e = 0;
+    // Python _unpack_nonstd always adds the full call to the table
+    snprintf(r->add_a, sizeof r->add_a, "%s", s);
+    if (c1) {
+      r->is_cq = 1;
+      snprintf(r->call, sizeof r->call, "%s", s);
+    }
+    return;
+  }
+  // i3 0 / 5-7: text-heuristic CQ fallback (matches unpack_spot)
+  if (!strncmp(r->text, "CQ ", 3)) {
+    r->is_cq = 1;
+    const char* p = r->text + 3;
+    const char* sp = strchr(p, ' ');
+    size_t n = sp ? static_cast<size_t>(sp - p) : strlen(p);
+    if (n >= sizeof r->call) n = sizeof r->call - 1;
+    memcpy(r->call, p, n);
+    r->call[n] = 0;
+  }
+}
+
+int ft8_unpack_spot_batch(const uint8_t* packed12, int n,
+                          Ft8SpotText* out) {
+  int n_ok = 0;
+  for (int i = 0; i < n; ++i) {
+    Ft8SpotText* r = &out[i];
+    memset(r, 0, sizeof *r);
+    uint8_t bits[96];
+    const uint8_t* p = packed12 + 12 * i;
+    for (int b = 0; b < 96; ++b)
+      bits[b] = (p[b / 8] >> (7 - (b % 8))) & 1;
+    int rc = ft8_unpack77(bits, r->text, sizeof r->text);
+    r->rc = static_cast<int8_t>(rc);
+    if (rc != 0) continue;
+    spot_fields(bits, r);
+    r->has_hash = strchr(r->text, '<') ? 1 : 0;
+    ++n_ok;
+  }
+  return n_ok;
+}
+
 }  // extern "C"

@@ -115,6 +115,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="a-priori CQ decoding: a second LDPC pass with the "
                         "known 'CQ' prefix bits clamped recovers CQ calls "
                         "~1 dB deeper (WSJT-X-style)")
+    p.add_argument("--budget", type=int, default=None, metavar="N",
+                   help="global candidate budget: run LDPC only on the N "
+                        "best-scoring candidates ACROSS all channels (big "
+                        "win on quiet wide bands; default: no budget)")
     p.add_argument("--multipass", type=int, default=1, metavar="N",
                    help="decode passes with signal subtraction between "
                         "passes (WSJT-X-style; default 1 = single pass)")

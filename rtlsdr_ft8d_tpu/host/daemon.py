@@ -155,7 +155,8 @@ class WindowProcessor:
         when = datetime.fromtimestamp(epoch, timezone.utc)
         results = decode_window((i_b, q_b), hashes=self.hashes,
                                 passes=getattr(self.args, "multipass", 1),
-                                ap_cq=getattr(self.args, "ap", False))
+                                ap_cq=getattr(self.args, "ap", False),
+                                budget=getattr(self.args, "budget", None))
         per_channel = []
         for k, decodes in zip(sel, results):
             for d in decodes:

@@ -27,6 +27,21 @@ class Ft8Spot(ctypes.Structure):
     ]
 
 
+class Ft8SpotText(ctypes.Structure):
+    """Mirror of native/ft8codec.cc:Ft8SpotText (batched spot unpack)."""
+    _fields_ = [
+        ("text", ctypes.c_char * 64),
+        ("call", ctypes.c_char * 16),
+        ("loc", ctypes.c_char * 8),
+        ("add_a", ctypes.c_char * 16),
+        ("add_b", ctypes.c_char * 16),
+        ("is_cq", ctypes.c_uint8),
+        ("has_hash", ctypes.c_uint8),
+        ("rc", ctypes.c_int8),
+        ("pad_", ctypes.c_uint8),
+    ]
+
+
 def load(build_if_missing=True):
     """Return the loaded library or None."""
     global _LIB, _TRIED
@@ -83,5 +98,9 @@ def load(build_if_missing=True):
     lib.ingest_ring_discard.argtypes = [ctypes.c_void_p, ctypes.c_size_t]
     lib.ingest_ring_dropped.restype = ctypes.c_uint64
     lib.ingest_ring_dropped.argtypes = [ctypes.c_void_p]
+    lib.ft8_unpack_spot_batch.restype = ctypes.c_int
+    lib.ft8_unpack_spot_batch.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                                          ctypes.c_int,
+                                          ctypes.POINTER(Ft8SpotText)]
     _LIB = lib
     return _LIB

@@ -35,7 +35,8 @@ from .ops.waterfall import waterfall
 from .protocol.constants import (FT8_LDPC_K, K_LDPC_ITERS, K_MAX_CANDIDATES,
                                  K_MAX_MESSAGES, K_MIN_SCORE, TONE_SPACING_HZ)
 from .protocol.text import CallsignHashTable
-from .protocol.unpack import UnpackError, unpack77, unpack_spot
+from .protocol.unpack import (UnpackError, unpack77, unpack_spot,
+                              unpack_spots_batch)
 
 
 @dataclass
@@ -95,11 +96,13 @@ _CQ_PREFIX_SIGN = jnp.asarray(2.0 * _CQ_PREFIX_BITS - 1.0)   # ±1
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_candidates", "ldpc_iters", "ap_cq"))
+                   static_argnames=("num_candidates", "ldpc_iters", "ap_cq",
+                                    "budget"))
 def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
                          num_candidates: int = K_MAX_CANDIDATES,
                          ldpc_iters: int = K_LDPC_ITERS,
-                         ap_cq: bool = False):
+                         ap_cq: bool = False,
+                         budget: int | None = None):
     """Device-side decode graph (float32 I/Q, no complex dtypes on device —
     mirrors the reference's `ft8_subsystem(iSamples, qSamples, ...)` API,
     rtlsdr_ft8d.c:1387).
@@ -129,7 +132,30 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
     cand = jax.lax.optimization_barrier(cand)
     llrs = extract_llrs(wf, cand)
     llrs = jax.lax.optimization_barrier(llrs)
-    hard, errors = bp_decode(llrs, ldpc_iters)
+
+    if budget is not None and budget < llrs.shape[0] * llrs.shape[1]:
+        # Global candidate budget (single-chip analogue of the dense
+        # path's all-gathered threshold): gather the top-`budget` scoring
+        # candidates ACROSS channels into a compact axis, run BP only on
+        # those, scatter back. On a quiet wide band nearly every channel's
+        # candidates are noise below the cut, so the BP cost drops from
+        # B*K to `budget` instances.
+        B, K = llrs.shape[0], llrs.shape[1]
+        flat_score = cand["score"].reshape(-1)               # (B*K,)
+        _, sel = jax.lax.top_k(flat_score, budget)
+
+        def run_bp(llrs_in):
+            hard_sel, errors_sel = bp_decode(
+                llrs_in.reshape(B * K, -1)[sel], ldpc_iters)
+            hard_f = (jnp.zeros((B * K, hard_sel.shape[-1]), hard_sel.dtype)
+                      .at[sel].set(hard_sel).reshape(B, K, -1))
+            errors_f = (jnp.full((B * K,), 83, errors_sel.dtype)
+                        .at[sel].set(errors_sel).reshape(B, K))
+            return hard_f, errors_f
+    else:
+        run_bp = lambda llrs_in: bp_decode(llrs_in, ldpc_iters)
+
+    hard, errors = run_bp(llrs)
     ok = (errors == 0) & crc_check(hard) & (cand["score"] >= K_MIN_SCORE)
 
     if ap_cq:
@@ -139,7 +165,7 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
         # calls ~1 dB deeper than the blind pass.
         ap_mag = jnp.float32(4.9)    # ~sqrt(24), the normalized LLR sigma
         llrs_ap = llrs.at[..., :29].set(_CQ_PREFIX_SIGN * ap_mag)
-        hard_ap, errors_ap = bp_decode(llrs_ap, ldpc_iters)
+        hard_ap, errors_ap = run_bp(llrs_ap)
         ok_ap = (errors_ap == 0) & crc_check(hard_ap) \
             & (cand["score"] >= K_MIN_SCORE) & ~ok
         hard = jnp.where(ok_ap[..., None], hard_ap, hard)
@@ -185,7 +211,7 @@ def compact_survivors(wf, cand, hard, errors, ok):
 
 
 def _decode_pass(i_s, q_s, hashes, num_candidates, ldpc_iters,
-                 ap_cq=False):
+                 ap_cq=False, budget=None):
     """One device pass + host unpack. Returns (per-channel decode lists,
     per-channel subtraction params, raw out dict).
 
@@ -194,43 +220,69 @@ def _decode_pass(i_s, q_s, hashes, num_candidates, ldpc_iters,
     its own hashed-callsign context)."""
     out = jax.device_get(decode_window_device(
         jnp.asarray(i_s), jnp.asarray(q_s), num_candidates, ldpc_iters,
-        ap_cq))
-    per_row_hashes = isinstance(hashes, (list, tuple))
-    results = []
-    sub_params = []
-    for b in range(i_s.shape[0]):
-        row_hashes = hashes[b] if per_row_hashes else hashes
-        seen = {}
-        decodes = []
-        params = []
-        ok_idx = np.nonzero(out["ok"][b])[0]
-        for k in ok_idx:
-            bits = np.unpackbits(out["packed"][b, k])
-            try:
-                text, call, loc, is_cq = unpack_spot(bits[:77], row_hashes)
-            except UnpackError:
-                continue
-            if text in seen:
-                continue
-            seen[text] = True
-            freq_hz = (out["freq_offset"][b, k]
-                       + out["freq_sub"][b, k] / 2.0) * TONE_SPACING_HZ
-            time_sec = (out["time_offset"][b, k]
-                        + out["time_sub"][b, k] / 2.0) * 0.16
-            decodes.append(Decode(text=text, freq_hz=float(freq_hz),
-                                  time_sec=float(time_sec),
-                                  score=int(out["score"][b, k]),
-                                  snr_db=float(out["snr_db"][b, k]),
-                                  call_field=call, loc_field=loc,
-                                  cq_field=is_cq))
-            params.append((bits[:91],
-                           int(out["freq_offset"][b, k]) * 2
-                           + int(out["freq_sub"][b, k]),
-                           int(out["time_offset"][b, k]) * 2
-                           + int(out["time_sub"][b, k])))
-        results.append(decodes)
-        sub_params.append(params)
+        ap_cq, budget))
+    results, sub_params = unpack_survivors(out, i_s.shape[0], hashes)
     return results, sub_params, out
+
+
+def unpack_survivors(out, n_channels, hashes=None):
+    """Host side of a decode pass: batched unpack + dedup of the
+    device-compacted survivors. ONE native call covers every survivor of
+    every channel (hash-table side effects stay sequential in (channel,
+    rank) order, identical to a per-message loop). Split out so bench.py
+    can time the host cost separately from device dispatch."""
+    per_row_hashes = isinstance(hashes, (list, tuple))
+    results = [[] for _ in range(n_channels)]
+    sub_params = [[] for _ in range(n_channels)]
+    ok_mask = np.asarray(out["ok"])
+    b_idx, k_idx = np.nonzero(ok_mask)
+    if b_idx.size == 0:
+        return results, sub_params
+    packed = np.asarray(out["packed"])[b_idx, k_idx]       # (N, 12)
+    if per_row_hashes:
+        # group by channel so each band's adds/lookups hit its own table
+        spots = []
+        start = 0
+        while start < b_idx.size:
+            end = start
+            while end < b_idx.size and b_idx[end] == b_idx[start]:
+                end += 1
+            spots.extend(unpack_spots_batch(packed[start:end],
+                                            hashes[b_idx[start]]))
+            start = end
+    else:
+        spots = unpack_spots_batch(packed, hashes)
+    bits_all = np.unpackbits(packed, axis=1)               # (N, 96)
+    freq_off = np.asarray(out["freq_offset"])[b_idx, k_idx]
+    freq_sub = np.asarray(out["freq_sub"])[b_idx, k_idx]
+    time_off = np.asarray(out["time_offset"])[b_idx, k_idx]
+    time_sub = np.asarray(out["time_sub"])[b_idx, k_idx]
+    score = np.asarray(out["score"])[b_idx, k_idx]
+    snr = np.asarray(out["snr_db"])[b_idx, k_idx]
+    seen = [None] * n_channels
+    for n in range(b_idx.size):
+        spot = spots[n]
+        if spot is None:
+            continue
+        b = int(b_idx[n])
+        text, call, loc, is_cq = spot
+        if seen[b] is None:
+            seen[b] = set()
+        if text in seen[b]:
+            continue
+        seen[b].add(text)
+        freq_hz = (freq_off[n] + freq_sub[n] / 2.0) * TONE_SPACING_HZ
+        time_sec = (time_off[n] + time_sub[n] / 2.0) * 0.16
+        results[b].append(Decode(text=text, freq_hz=float(freq_hz),
+                                 time_sec=float(time_sec),
+                                 score=int(score[n]),
+                                 snr_db=float(snr[n]),
+                                 call_field=call, loc_field=loc,
+                                 cq_field=is_cq))
+        sub_params[b].append((bits_all[n, :91],
+                              int(freq_off[n]) * 2 + int(freq_sub[n]),
+                              int(time_off[n]) * 2 + int(time_sub[n])))
+    return results, sub_params
 
 
 def decode_window(iq, hashes: CallsignHashTable | None = None,
@@ -238,7 +290,8 @@ def decode_window(iq, hashes: CallsignHashTable | None = None,
                   ldpc_iters: int = K_LDPC_ITERS,
                   return_stats: bool = False,
                   passes: int = 1,
-                  ap_cq: bool = False):
+                  ap_cq: bool = False,
+                  budget: int | None = None):
     """Decode a batch of channels; returns list (per channel) of Decode lists.
 
     `iq` may be (48000,) or (B, 48000), complex or a (i, q) tuple of float32.
@@ -258,7 +311,7 @@ def decode_window(iq, hashes: CallsignHashTable | None = None,
 
     results, sub_params, out = _decode_pass(i_s, q_s, hashes,
                                             num_candidates, ldpc_iters,
-                                            ap_cq)
+                                            ap_cq, budget)
 
     # Multi-pass: subtract every decoded signal and decode the residual
     # (WSJT-X-style; neither the reference nor ft8_lib has this).
@@ -288,7 +341,7 @@ def decode_window(iq, hashes: CallsignHashTable | None = None,
         q_s = np.asarray(q_r)
         res2, sub_params, _ = _decode_pass(i_s, q_s, hashes,
                                            num_candidates, ldpc_iters,
-                                           ap_cq)
+                                           ap_cq, budget)
         for b in range(B):
             known = {d.text for d in results[b]}
             new = [d for d in res2[b] if d.text not in known]

@@ -257,3 +257,56 @@ def unpack_spot(payload_bits: np.ndarray,
         if is_cq and len(parts) >= 2:
             call = parts[1]
     return text, call, loc, is_cq
+
+
+def unpack_spots_batch(packed12, hashes: CallsignHashTable | None = None):
+    """Batched unpack of bit-packed 91-bit payloads (N, 12) uint8.
+
+    The host hot path at 1000+ channels: one native C++ call renders all
+    texts and spot fields; Python only re-unpacks the (rare) records that
+    need a hash-table LOOKUP, and applies the hash-table ADD side effects
+    the native code computed (exact parity with sequential unpack_spot).
+    Returns a list of (text, call, loc, is_cq) tuples, None for records
+    that fail to unpack. Falls back to pure Python without the native lib.
+    """
+    import ctypes
+
+    from .. import native
+
+    packed12 = np.ascontiguousarray(packed12, np.uint8)
+    n = packed12.shape[0]
+    if n == 0:
+        return []
+    lib = native.load()
+    if lib is None:
+        out = []
+        for row in packed12:
+            bits = np.unpackbits(row)
+            try:
+                out.append(unpack_spot(bits[:77], hashes))
+            except UnpackError:
+                out.append(None)
+        return out
+    recs = (native.Ft8SpotText * n)()
+    lib.ft8_unpack_spot_batch(
+        packed12.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, recs)
+    out = []
+    for i in range(n):
+        r = recs[i]
+        if r.rc != 0:
+            out.append(None)
+            continue
+        if r.has_hash and hashes is not None:
+            bits = np.unpackbits(packed12[i])
+            try:
+                out.append(unpack_spot(bits[:77], hashes))
+            except UnpackError:
+                out.append(None)
+            continue
+        if hashes is not None:
+            for a in (r.add_a, r.add_b):
+                if a:
+                    hashes.add(a.decode())
+        out.append((r.text.decode(), r.call.decode(), r.loc.decode(),
+                    bool(r.is_cq)))
+    return out

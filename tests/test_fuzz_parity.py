@@ -229,3 +229,41 @@ def test_fuzz_native_encode_to_decode():
     # but ±49-report edge messages can land outside the waterfall)
     assert not wrong, wrong
     assert n_ok >= B - 2, f"only {n_ok}/{B} decoded"
+
+
+def test_batch_spot_unpack_matches_sequential():
+    """unpack_spots_batch (native hot path) must match sequential Python
+    unpack_spot EXACTLY, including CallsignHashTable side effects (adds
+    from earlier messages resolving hashed calls in later ones)."""
+    from rtlsdr_ft8d_tpu.protocol.text import CallsignHashTable
+    from rtlsdr_ft8d_tpu.protocol.unpack import (unpack_spot,
+                                                 unpack_spots_batch)
+
+    rng = np.random.default_rng(321)
+    msgs = [random_message(rng) for _ in range(300)]
+    # a hash-dependent sequence: the nonstd call is learned, then referenced
+    msgs += ["CQ PJ4/K1ABC", "PJ4/K1ABC W9XYZ RR73", "W9XYZ PJ4/K1ABC 73"]
+    rows, keep = [], []
+    for m in msgs:
+        try:
+            bits = pack77(m)
+        except PackError:
+            continue
+        rows.append(np.packbits(np.concatenate([bits,
+                                                np.zeros(19, np.uint8)])))
+        keep.append(bits)
+    packed = np.stack(rows)
+
+    h_seq = CallsignHashTable()
+    expected = []
+    for bits in keep:
+        try:
+            expected.append(unpack_spot(bits, h_seq))
+        except UnpackError:
+            expected.append(None)
+
+    h_batch = CallsignHashTable()
+    got = unpack_spots_batch(packed, h_batch)
+    assert got == expected
+    # the two hash tables must have learned exactly the same calls
+    assert h_batch._by22 == h_seq._by22

@@ -99,3 +99,35 @@ def test_ap_no_false_decodes_on_noise():
     iq = (rng.standard_normal(48000)
           + 1j * rng.standard_normal(48000)).astype(np.complex64)
     assert decode_window(iq, ap_cq=True) == []
+
+
+def test_global_budget_decodes_active_channels():
+    """budget=N runs BP only on the N best candidates across channels;
+    signals still decode, quiet channels cost nothing."""
+    import numpy as np
+
+    from rtlsdr_ft8d_tpu.host.synth import synthesize_message
+    from rtlsdr_ft8d_tpu.pipeline import decode_window
+
+    rng = np.random.default_rng(3)
+    chans = []
+    msgs = {}
+    for b in range(8):
+        if b in (2, 5):
+            m = f"CQ K1JT FN2{b}"
+            msgs[b] = m
+            chans.append(synthesize_message(m, f0_hz=400 + 50 * b,
+                                            noise_sigma=0.1,
+                                            rng=np.random.default_rng(b)))
+        else:
+            chans.append((0.01 * rng.standard_normal(48000)
+                          + 0.01j * rng.standard_normal(48000))
+                         .astype(np.complex64))
+    batch = np.stack(chans)
+    res = decode_window(batch, budget=64)
+    for b, m in msgs.items():
+        assert m in {d.text for d in res[b]}, (b, res[b])
+    # quiet channels: no false decodes under the budget either
+    for b in range(8):
+        if b not in msgs:
+            assert not res[b]
