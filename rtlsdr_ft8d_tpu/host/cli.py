@@ -111,6 +111,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="decimate raw int8 IQ on-device with the Pallas "
                         "ingest kernel (4x less host->device bandwidth; "
                         "one-time ~3 min Mosaic compile on first window)")
+    p.add_argument("--osd", type=int, default=0, metavar="M",
+                   help="ordered-statistics decoding of the M best "
+                        "BP-failed candidates per channel (~1 dB deeper; "
+                        "host-side, WSJT-X-class; default 0 = off)")
     p.add_argument("--ap", action="store_true",
                    help="a-priori CQ decoding: a second LDPC pass with the "
                         "known 'CQ' prefix bits clamped recovers CQ calls "

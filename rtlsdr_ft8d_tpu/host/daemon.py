@@ -62,7 +62,8 @@ def decode_file(args) -> int:
     batches = (i_s.reshape(n_windows, WINDOW), q_s.reshape(n_windows, WINDOW))
     results = decode_window(batches, hashes=hashes,
                             passes=getattr(args, "multipass", 1),
-                            ap_cq=getattr(args, "ap", False))
+                            ap_cq=getattr(args, "ap", False),
+                            osd_cands=getattr(args, "osd", 0))
     if n_windows == 1:
         results = [results] if not isinstance(results[0], list) else results
     total = 0
@@ -156,7 +157,8 @@ class WindowProcessor:
         results = decode_window((i_b, q_b), hashes=self.hashes,
                                 passes=getattr(self.args, "multipass", 1),
                                 ap_cq=getattr(self.args, "ap", False),
-                                budget=getattr(self.args, "budget", None))
+                                budget=getattr(self.args, "budget", None),
+                                osd_cands=getattr(self.args, "osd", 0))
         per_channel = []
         for k, decodes in zip(sel, results):
             for d in decodes:
@@ -215,7 +217,8 @@ class WindowProcessor:
         decodes, stats = decode_window(
             (i_bb, q_bb), hashes=self.hashes, return_stats=True,
             passes=getattr(self.args, "multipass", 1),
-            ap_cq=getattr(self.args, "ap", False))
+            ap_cq=getattr(self.args, "ap", False),
+            osd_cands=getattr(self.args, "osd", 0))
         return self.emit(decodes, epoch, stats, (time.time() - t0) * 1000.0,
                          i_bb, q_bb)
 
@@ -365,7 +368,8 @@ def run_daemon(args) -> int:
                 results = decode_window(
                     (i_b, q_b), hashes=[p.hashes for p in procs],
                     passes=getattr(args, "multipass", 1),
-                    ap_cq=getattr(args, "ap", False))
+                    ap_cq=getattr(args, "ap", False),
+                    osd_cands=getattr(args, "osd", 0))
                 for proc, decodes, bb in zip(procs, results, basebands):
                     proc.emit(decodes, epoch, i_bb=bb[0], q_bb=bb[1])
             if args.maxloop and procs[0].windows_done >= args.maxloop:

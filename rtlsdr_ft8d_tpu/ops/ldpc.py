@@ -193,17 +193,22 @@ def bp_decode_minsum(llr: jax.Array, max_iters: int = 20,
             best_err.reshape(batch_shape))
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
-def bp_decode(llr: jax.Array, max_iters: int = 20):
+@functools.partial(jax.jit,
+                   static_argnames=("max_iters", "return_posterior"))
+def bp_decode(llr: jax.Array, max_iters: int = 20,
+              return_posterior: bool = False):
     """Decode a batch of LLR vectors.
 
     Args:
       llr: (..., 174) float32, positive = bit 1 (ft8_lib convention).
       max_iters: fixed BP iteration count (reference uses 20).
+      return_posterior: also return the final-iteration posterior LLRs
+        (..., 174) — the sharpened beliefs OSD reprocesses on BP failures.
 
     Returns:
-      (hard, num_errors): (..., 174) int8 hard decisions of the best
-      iteration and (...,) int32 unsatisfied-check counts (0 = success).
+      (hard, num_errors[, posterior]): (..., 174) int8 hard decisions of
+      the best iteration and (...,) int32 unsatisfied-check counts
+      (0 = success).
     """
     batch_shape = llr.shape[:-1]
     llr2 = llr.reshape((-1, FT8_LDPC_N))
@@ -262,10 +267,14 @@ def bp_decode(llr: jax.Array, max_iters: int = 20):
         tov_new = -2.0 * _fast_atanh(val)
         return tov_new, best_err, best_hard
 
-    _, best_err, best_hard = jax.lax.fori_loop(
+    tov_f, best_err, best_hard = jax.lax.fori_loop(
         0, max_iters, body, (tov0, best_err0, best_hard0))
-    return (best_hard.reshape(batch_shape + (FT8_LDPC_N,)),
-            best_err.reshape(batch_shape))
+    hard_out = best_hard.reshape(batch_shape + (FT8_LDPC_N,))
+    err_out = best_err.reshape(batch_shape)
+    if return_posterior:
+        post = llr2 + jnp.sum(tov_f.reshape(N, FT8_LDPC_N, 3), axis=-1)
+        return hard_out, err_out, post.reshape(batch_shape + (FT8_LDPC_N,))
+    return hard_out, err_out
 
 
 # --- CRC-14 as a GF(2) matrix (MXU-friendly batched check) -------------------

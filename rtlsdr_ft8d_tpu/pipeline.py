@@ -97,12 +97,13 @@ _CQ_PREFIX_SIGN = jnp.asarray(2.0 * _CQ_PREFIX_BITS - 1.0)   # ±1
 
 @functools.partial(jax.jit,
                    static_argnames=("num_candidates", "ldpc_iters", "ap_cq",
-                                    "budget"))
+                                    "budget", "osd_cands"))
 def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
                          num_candidates: int = K_MAX_CANDIDATES,
                          ldpc_iters: int = K_LDPC_ITERS,
                          ap_cq: bool = False,
-                         budget: int | None = None):
+                         budget: int | None = None,
+                         osd_cands: int = 0):
     """Device-side decode graph (float32 I/Q, no complex dtypes on device —
     mirrors the reference's `ft8_subsystem(iSamples, qSamples, ...)` API,
     rtlsdr_ft8d.c:1387).
@@ -144,18 +145,33 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
         flat_score = cand["score"].reshape(-1)               # (B*K,)
         _, sel = jax.lax.top_k(flat_score, budget)
 
-        def run_bp(llrs_in):
-            hard_sel, errors_sel = bp_decode(
-                llrs_in.reshape(B * K, -1)[sel], ldpc_iters)
+        def run_bp(llrs_in, want_post=False):
+            if want_post:
+                hard_sel, errors_sel, post_sel = bp_decode(
+                    llrs_in.reshape(B * K, -1)[sel], ldpc_iters,
+                    return_posterior=True)
+            else:
+                hard_sel, errors_sel = bp_decode(
+                    llrs_in.reshape(B * K, -1)[sel], ldpc_iters)
             hard_f = (jnp.zeros((B * K, hard_sel.shape[-1]), hard_sel.dtype)
                       .at[sel].set(hard_sel).reshape(B, K, -1))
             errors_f = (jnp.full((B * K,), 83, errors_sel.dtype)
                         .at[sel].set(errors_sel).reshape(B, K))
+            if want_post:
+                post_f = (jnp.zeros((B * K, post_sel.shape[-1]),
+                                    post_sel.dtype)
+                          .at[sel].set(post_sel).reshape(B, K, -1))
+                return hard_f, errors_f, post_f
             return hard_f, errors_f
     else:
-        run_bp = lambda llrs_in: bp_decode(llrs_in, ldpc_iters)
+        def run_bp(llrs_in, want_post=False):
+            return bp_decode(llrs_in, ldpc_iters, return_posterior=want_post)
 
-    hard, errors = run_bp(llrs)
+    if osd_cands > 0:
+        hard, errors, posterior = run_bp(llrs, want_post=True)
+    else:
+        hard, errors = run_bp(llrs)
+        posterior = None
     ok = (errors == 0) & crc_check(hard) & (cand["score"] >= K_MIN_SCORE)
 
     if ap_cq:
@@ -171,7 +187,28 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
         hard = jnp.where(ok_ap[..., None], hard_ap, hard)
         ok = ok | ok_ap
 
-    return compact_survivors(wf, cand, hard, errors, ok)
+    out = compact_survivors(wf, cand, hard, errors, ok)
+
+    if osd_cands > 0:
+        # Ship the BP POSTERIORS of the best BP-failed candidates to the
+        # host for ordered-statistics reprocessing (ops/osd.py) — OSD on
+        # the sharpened beliefs decodes well below the BP threshold.
+        failed = (errors > 0) & (cand["score"] >= K_MIN_SCORE)
+        rank = jnp.where(failed, -cand["score"], 1 << 20)
+        order_f = jnp.argsort(rank, axis=-1, stable=True)[..., :osd_cands]
+        out["osd_post"] = jnp.take_along_axis(
+            posterior, order_f[..., None], axis=-2)    # (B, M, 174)
+        take_f = lambda x: jnp.take_along_axis(x, order_f, axis=-1)
+        out["osd_valid"] = take_f(failed)
+        out["osd_score"] = take_f(cand["score"]).astype(jnp.int32)
+        out["osd_snr_db"] = take_f(estimate_snr(wf, cand))
+        out["osd_time_sub"] = take_f(cand["time_sub"]).astype(jnp.uint8)
+        out["osd_freq_sub"] = take_f(cand["freq_sub"]).astype(jnp.uint8)
+        out["osd_time_offset"] = take_f(cand["time_offset"]) \
+            .astype(jnp.int8)
+        out["osd_freq_offset"] = take_f(cand["freq_offset"]) \
+            .astype(jnp.int32)
+    return out
 
 
 def compact_survivors(wf, cand, hard, errors, ok):
@@ -211,7 +248,7 @@ def compact_survivors(wf, cand, hard, errors, ok):
 
 
 def _decode_pass(i_s, q_s, hashes, num_candidates, ldpc_iters,
-                 ap_cq=False, budget=None):
+                 ap_cq=False, budget=None, osd_cands=0):
     """One device pass + host unpack. Returns (per-channel decode lists,
     per-channel subtraction params, raw out dict).
 
@@ -220,9 +257,60 @@ def _decode_pass(i_s, q_s, hashes, num_candidates, ldpc_iters,
     its own hashed-callsign context)."""
     out = jax.device_get(decode_window_device(
         jnp.asarray(i_s), jnp.asarray(q_s), num_candidates, ldpc_iters,
-        ap_cq, budget))
+        ap_cq, budget, osd_cands))
     results, sub_params = unpack_survivors(out, i_s.shape[0], hashes)
+    if osd_cands > 0:
+        _merge_osd_decodes(out, results, sub_params, hashes)
     return results, sub_params, out
+
+
+def _merge_osd_decodes(out, results, sub_params, hashes):
+    """Host OSD reprocessing of the BP-failed candidates the device
+    shipped (posterior LLRs), merging CRC-clean recoveries into the
+    per-channel decode lists."""
+    from .ops.osd import osd_batch
+
+    valid = np.asarray(out["osd_valid"])            # (B, M)
+    b_idx, m_idx = np.nonzero(valid)
+    if b_idx.size == 0:
+        return
+    post = np.asarray(out["osd_post"])[b_idx, m_idx]
+    msgs, accept = osd_batch(post)
+    per_row = isinstance(hashes, (list, tuple))
+    for n in range(b_idx.size):
+        if not accept[n]:
+            continue
+        b, m = int(b_idx[n]), int(m_idx[n])
+        # false-decode gates beyond the CRC: OSD reprocessing only trusts
+        # candidates with real sync evidence (score >= 13; pure-noise
+        # candidates cluster at 10-12), and never surfaces raw-typed
+        # payloads (a genuine type-5..7 signal surviving only via OSD is
+        # vastly less likely than a 14-bit CRC collision)
+        if out["osd_score"][b, m] < 13:
+            continue
+        row_hashes = hashes[b] if per_row else hashes
+        try:
+            text, call, loc, is_cq = unpack_spot(msgs[n][:77], row_hashes)
+        except UnpackError:
+            continue
+        if text.startswith("<type"):
+            continue
+        if any(d.text == text for d in results[b]):
+            continue
+        freq_hz = (out["osd_freq_offset"][b, m]
+                   + out["osd_freq_sub"][b, m] / 2.0) * TONE_SPACING_HZ
+        time_sec = (out["osd_time_offset"][b, m]
+                    + out["osd_time_sub"][b, m] / 2.0) * 0.16
+        results[b].append(Decode(
+            text=text, freq_hz=float(freq_hz), time_sec=float(time_sec),
+            score=int(out["osd_score"][b, m]),
+            snr_db=float(np.round(out["osd_snr_db"][b, m] * 2.0) / 2.0),
+            call_field=call, loc_field=loc, cq_field=is_cq))
+        sub_params[b].append((msgs[n],
+                              int(out["osd_freq_offset"][b, m]) * 2
+                              + int(out["osd_freq_sub"][b, m]),
+                              int(out["osd_time_offset"][b, m]) * 2
+                              + int(out["osd_time_sub"][b, m])))
 
 
 def unpack_survivors(out, n_channels, hashes=None):
@@ -291,7 +379,8 @@ def decode_window(iq, hashes: CallsignHashTable | None = None,
                   return_stats: bool = False,
                   passes: int = 1,
                   ap_cq: bool = False,
-                  budget: int | None = None):
+                  budget: int | None = None,
+                  osd_cands: int = 0):
     """Decode a batch of channels; returns list (per channel) of Decode lists.
 
     `iq` may be (48000,) or (B, 48000), complex or a (i, q) tuple of float32.
@@ -311,7 +400,7 @@ def decode_window(iq, hashes: CallsignHashTable | None = None,
 
     results, sub_params, out = _decode_pass(i_s, q_s, hashes,
                                             num_candidates, ldpc_iters,
-                                            ap_cq, budget)
+                                            ap_cq, budget, osd_cands)
 
     # Multi-pass: subtract every decoded signal and decode the residual
     # (WSJT-X-style; neither the reference nor ft8_lib has this).
@@ -341,7 +430,7 @@ def decode_window(iq, hashes: CallsignHashTable | None = None,
         q_s = np.asarray(q_r)
         res2, sub_params, _ = _decode_pass(i_s, q_s, hashes,
                                            num_candidates, ldpc_iters,
-                                           ap_cq, budget)
+                                           ap_cq, budget, osd_cands)
         for b in range(B):
             known = {d.text for d in results[b]}
             new = [d for d in res2[b] if d.text not in known]

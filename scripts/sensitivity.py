@@ -1,9 +1,10 @@
-"""Decode sensitivity sweep: decode probability vs SNR.
+"""Decode sensitivity sweep: decode probability vs SNR, per decoder variant.
 
 Characterizes the decoder against the FT8 sensitivity expectation (the
 WSJT-X/ft8_lib class of simple non-coherent decoders reaches ~50% around
--18..-20 dB SNR in 2500 Hz). Trials at each SNR are batched as channels, so
-a full sweep is a handful of decode_window calls.
+-18..-20 dB SNR in 2500 Hz; WSJT-X with a-priori + OSD reaches ~-21 dB).
+Trials at each SNR are batched as channels, so a full sweep is a handful
+of decode_window calls per variant.
 
 Usage: [JAX_PLATFORMS=cpu] python3 scripts/sensitivity.py [trials_per_snr]
 Writes SENSITIVITY.md at the repo root.
@@ -20,6 +21,14 @@ from rtlsdr_ft8d_tpu.pipeline import decode_window
 MESSAGE = "K1ABC W9XYZ EN37"
 AMP = 0.5
 
+VARIANTS = [
+    ("single-pass BP", {}),
+    ("+OSD", {"osd_cands": 8}),
+    ("+OSD+AP", {"osd_cands": 8, "ap_cq": True}),
+]
+
+SNRS = [s / 2.0 for s in range(-44, -15)]   # -22.0 .. -8.0 in 0.5 dB
+
 
 def sigma_for_snr(snr_db):
     """Complex-noise sigma per component for a given SNR in 2500 Hz."""
@@ -27,41 +36,69 @@ def sigma_for_snr(snr_db):
     return np.sqrt(AMP ** 2 / (2 * 10 ** (snr_db / 10) * (2500 / 3200)))
 
 
-def run(trials=24):
+def run(trials=100):
     rows = []
-    rng = np.random.default_rng(1234)
-    for snr in range(-24, -7, 1):
+    for snr in SNRS:
         sigma = sigma_for_snr(snr)
         chans = []
         for t in range(trials):
-            f0 = 300.0 + 12.5 * t
+            f0 = 250.0 + 1050.0 * t / trials
             chans.append(synthesize_message(
                 MESSAGE, f0_hz=f0, amplitude=AMP, noise_sigma=sigma,
-                rng=rng))
+                rng=np.random.default_rng(hash((snr, t)) % (1 << 31))))
         batch = np.stack(chans)
-        res = decode_window(batch)
-        n_ok = sum(1 for decs in res if MESSAGE in {d.text for d in decs})
-        rows.append((snr, n_ok, trials))
-        print(f"SNR {snr:+3d} dB: {n_ok:2d}/{trials} decoded", flush=True)
+        counts = []
+        for _name, kw in VARIANTS:
+            res = decode_window(batch, **kw)
+            counts.append(sum(1 for decs in res
+                              if MESSAGE in {d.text for d in decs}))
+        rows.append((snr, counts, trials))
+        print(f"SNR {snr:+6.1f} dB: "
+              + "  ".join(f"{n}:{c:3d}/{trials}"
+                          for (n, _), c in zip(VARIANTS, counts)),
+              flush=True)
+        if all(c == trials for c in counts):
+            break
     return rows
 
 
+def threshold_50(rows, vi):
+    """Interpolated SNR where the decode rate crosses 50%."""
+    prev = None
+    for snr, counts, n in rows:
+        rate = counts[vi] / n
+        if rate >= 0.5:
+            if prev is None:
+                return snr
+            psnr, prate = prev
+            if rate == prate:
+                return snr
+            return psnr + (0.5 - prate) * (snr - psnr) / (rate - prate)
+        prev = (snr, counts[vi] / n)
+    return None
+
+
 def main():
-    trials = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    trials = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     rows = run(trials)
     with open("/root/repo/SENSITIVITY.md", "w") as f:
         f.write("# Decode sensitivity (synthesized AWGN channel)\n\n")
         f.write(f"Message `{MESSAGE}`, amplitude {AMP}, complex AWGN, "
                 f"{trials} trials/point,\nSNR referred to 2500 Hz "
                 "bandwidth. Produced by scripts/sensitivity.py.\n\n")
-        f.write("| SNR (dB) | decoded | rate |\n|---|---|---|\n")
-        thresh = None
-        for snr, ok, n in rows:
-            f.write(f"| {snr:+d} | {ok}/{n} | {ok / n:.2f} |\n")
-            if thresh is None and ok >= n / 2:
-                thresh = snr
-        f.write(f"\n50% threshold ≈ **{thresh} dB** (ft8_lib-class "
-                "non-coherent single-pass decoders: −18…−20 dB).\n")
+        f.write("| SNR (dB) | " + " | ".join(n for n, _ in VARIANTS)
+                + " |\n")
+        f.write("|---|" + "---|" * len(VARIANTS) + "\n")
+        for snr, counts, n in rows:
+            f.write(f"| {snr:+.1f} | "
+                    + " | ".join(f"{c}/{n}" for c in counts) + " |\n")
+        f.write("\n50% thresholds: "
+                + ", ".join(
+                    f"{name} ≈ **{threshold_50(rows, vi):.1f} dB**"
+                    for vi, (name, _) in enumerate(VARIANTS)
+                    if threshold_50(rows, vi) is not None)
+                + ".\n\nReference class (ft8_lib/WSJT-X single-pass "
+                "non-coherent): −18…−20 dB; WSJT-X with AP+OSD: ~−21 dB.\n")
     print("wrote SENSITIVITY.md")
 
 

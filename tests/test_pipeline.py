@@ -131,3 +131,39 @@ def test_global_budget_decodes_active_channels():
     for b in range(8):
         if b not in msgs:
             assert not res[b]
+
+
+def test_osd_recovers_bp_failures_and_noise_stays_clean():
+    """OSD reprocessing of BP-failed candidates (ops/osd.py) decodes
+    below the BP threshold; pure noise must stay decode-free."""
+    import numpy as np
+
+    from rtlsdr_ft8d_tpu.host.synth import synthesize_message
+    from rtlsdr_ft8d_tpu.pipeline import decode_window
+
+    sigma = 0.1
+    m = "CQ K1JT FN07"
+
+    def amp_for(snr_db):
+        return np.sqrt(10 ** (snr_db / 10.0) * 2 * sigma * sigma
+                       * 2500.0 / 3200.0)
+
+    N = 16
+    snr = -19.5
+    chans = [synthesize_message(m, f0_hz=400 + 25 * t,
+                                amplitude=amp_for(snr), noise_sigma=sigma,
+                                rng=np.random.default_rng(500 + t))
+             for t in range(N)]
+    batch = np.stack(chans)
+    plain = decode_window(batch)
+    osd = decode_window(batch, osd_cands=8)
+    n_plain = sum(1 for b in range(N) if m in {d.text for d in plain[b]})
+    n_osd = sum(1 for b in range(N) if m in {d.text for d in osd[b]})
+    assert n_osd > n_plain, (n_plain, n_osd)
+
+    rng = np.random.default_rng(0)
+    noise = (sigma * rng.standard_normal((N, 48000))
+             + 1j * sigma * rng.standard_normal((N, 48000))
+             ).astype(np.complex64)
+    res = decode_window(noise, osd_cands=8)
+    assert sum(len(r) for r in res) == 0
