@@ -1,0 +1,153 @@
+"""Matched-filter candidate refinement: unquantized tone magnitudes at
+fine (dt, df) offsets for BP-failed candidates.
+
+The main pipeline works on the reference's quantized uint8 waterfall at
+2x/2x oversampling (0.08 s / 3.125 Hz grid) for bit-parity with
+ft8_lib's decode chain (SURVEY §3.4). Signals landing between grid
+points lose up to ~1 dB to timing/frequency mismatch and quantization.
+This stage re-derives the 79x8 tone magnitudes for a FAILED candidate
+directly from the raw baseband samples — per-symbol matched filters
+(rectangular window, exact candidate frequency) evaluated on a finer
++-quarter-grid — picks the (dt, df) variant with the highest Costas sync
+power, and emits fresh float LLRs for a BP retry + OSD.
+
+All of it is batched dense linear algebra (gathers + two GEMMs onto a
+fixed 24-tone cos/sin basis) — MXU work, no complex dtypes (CLAUDE.md:
+complex is unusable on this TPU backend).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..protocol.constants import (BLOCK_SIZE, COSTAS_PATTERN, FT8_LDPC_N,
+                                  FT8_ND, FT8_NN, GRAY_MAP,
+                                  SIGNAL_SAMPLE_RATE, TONE_SPACING_HZ)
+from .llr import _BIT_SET, _DATA_SYM
+
+# refinement grids: +-1/4 symbol in time, +-1/4 bin in frequency
+_DT_GRID = np.array([-128, 0, 128], dtype=np.int32)          # samples
+_DF_GRID = np.array([-TONE_SPACING_HZ / 4, 0.0,
+                     TONE_SPACING_HZ / 4], dtype=np.float64)  # Hz
+
+_WINDOW_SAMPLES = FT8_NN * BLOCK_SIZE                        # 40448
+
+# Costas sync symbol indices and their expected tones
+_SYNC_SYM = np.concatenate([np.arange(7), 36 + np.arange(7),
+                            72 + np.arange(7)]).astype(np.int32)
+_SYNC_TONE = np.concatenate([COSTAS_PATTERN] * 3).astype(np.int32)
+
+
+@functools.cache
+def _tone_basis():
+    """(512, 3*8) cos/sin bases: tone j at j*6.25 + df for each df."""
+    u = np.arange(BLOCK_SIZE, dtype=np.float64)
+    freqs = []
+    for df in _DF_GRID:
+        for j in range(8):
+            freqs.append(j * TONE_SPACING_HZ + df)
+    ang = 2.0 * np.pi * np.outer(u, np.asarray(freqs)) / SIGNAL_SAMPLE_RATE
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
+def refine_llrs(i_samples: jax.Array, q_samples: jax.Array, cand_sel: dict):
+    """Refined LLRs for a subset of candidates.
+
+    Args:
+      i_samples, q_samples: (B, 48000) float32 baseband.
+      cand_sel: dict of (B, M) int arrays (time_sub/freq_sub/time_offset/
+        freq_offset) — the candidates to refine.
+
+    Returns:
+      (llrs, best_score): (B, M, 174) float32 refined normalized LLRs and
+      (B, M) float32 best-variant Costas power (linear units) for gating.
+    """
+    ts = cand_sel["time_sub"].astype(jnp.int32)
+    fs = cand_sel["freq_sub"].astype(jnp.int32)
+    to = cand_sel["time_offset"].astype(jnp.int32)
+    fo = cand_sel["freq_offset"].astype(jnp.int32)
+    B, M = ts.shape
+    NDT, NDF = len(_DT_GRID), len(_DF_GRID)
+    n_in = i_samples.shape[-1]
+
+    # start sample of symbol 0 for each (cand, dt). The +256 bias: the
+    # waterfall's 1024-pt sine window is centered half a block after the
+    # nominal block start (the reference's systematic -0.08 s DT), so the
+    # 512-sample rectangular matched filter starts one half-block later.
+    s0 = (to * 2 + ts) * (BLOCK_SIZE // 2) + BLOCK_SIZE // 2  # (B, M)
+    s0 = s0[..., None] + jnp.asarray(_DT_GRID)[None, None, :]   # (B, M, DT)
+
+    # gather the contiguous 79-symbol span per (cand, dt); out-of-range
+    # samples clamp to the edge and are masked per symbol below
+    idx = s0[..., None] + jnp.arange(_WINDOW_SAMPLES)[None, None, None, :]
+    idx_c = jnp.clip(idx, 0, n_in - 1).reshape(B, -1)
+    xi = jnp.take_along_axis(i_samples, idx_c, axis=-1) \
+        .reshape(B, M, NDT, FT8_NN, BLOCK_SIZE)
+    xq = jnp.take_along_axis(q_samples, idx_c, axis=-1) \
+        .reshape(B, M, NDT, FT8_NN, BLOCK_SIZE)
+
+    # downshift by the candidate's center frequency (local per-symbol
+    # phase; noncoherent per-symbol energies don't need cross-symbol
+    # phase continuity)
+    f_c = (fo.astype(jnp.float32) + fs.astype(jnp.float32) / 2.0) \
+        * TONE_SPACING_HZ                                     # (B, M)
+    u = jnp.arange(BLOCK_SIZE, dtype=jnp.float32)
+    ph = (2.0 * jnp.pi / SIGNAL_SAMPLE_RATE) \
+        * f_c[..., None] * u[None, None, :]                  # (B, M, 512)
+    c = jnp.cos(ph)[:, :, None, None, :]
+    s = jnp.sin(ph)[:, :, None, None, :]
+    mi = xi * c + xq * s                                     # Re(x e^-j ph)
+    mq = xq * c - xi * s
+
+    # project every symbol window onto the 24-tone basis (two GEMMs)
+    cb, sb = map(jnp.asarray, _tone_basis())                 # (512, 24)
+    kw = dict(precision=jax.lax.Precision.HIGHEST,
+              preferred_element_type=jnp.float32)
+    re = jnp.einsum("bmdnu,uf->bmdnf", mi, cb, **kw) \
+        + jnp.einsum("bmdnu,uf->bmdnf", mq, sb, **kw)
+    im = jnp.einsum("bmdnu,uf->bmdnf", mq, cb, **kw) \
+        - jnp.einsum("bmdnu,uf->bmdnf", mi, sb, **kw)
+    power = (re * re + im * im).reshape(B, M, NDT, FT8_NN, NDF, 8)
+
+    # per-symbol validity (window fully inside the capture)
+    sym_start = s0[..., None] + jnp.arange(FT8_NN)[None, None, None, :] \
+        * BLOCK_SIZE                                         # (B, M, DT, 79)
+    sym_valid = (sym_start >= 0) & (sym_start + BLOCK_SIZE <= n_in)
+    power = power * sym_valid[..., None, None].astype(jnp.float32)
+
+    # Costas power per variant -> pick best (dt, df)
+    sync_p = power[:, :, :, jnp.asarray(_SYNC_SYM), :, :]
+    sync_p = jnp.take_along_axis(
+        sync_p, jnp.asarray(_SYNC_TONE)[None, None, None, :, None, None],
+        axis=-1)[..., 0]                                     # (B,M,DT,21,DF)
+    score = jnp.sum(sync_p, axis=3)                          # (B, M, DT, DF)
+    flat = score.reshape(B, M, NDT * NDF)
+    best = jnp.argmax(flat, axis=-1)                         # (B, M)
+    best_score = jnp.max(flat, axis=-1)
+
+    # select the winning variant's (79, 8) powers via one-hot einsum
+    onehot = jax.nn.one_hot(best, NDT * NDF, dtype=jnp.float32)
+    pow_v = power.transpose(0, 1, 2, 4, 3, 5) \
+        .reshape(B, M, NDT * NDF, FT8_NN, 8)
+    sel = jnp.einsum("bmv,bmvnj->bmnj", onehot, pow_v, **kw)
+
+    # log-domain max-log bit LLRs over the 58 data symbols; Gray demap:
+    # symbol value j was transmitted on tone frequency GRAY_MAP[j]
+    s2 = jnp.log(sel[:, :, jnp.asarray(_DATA_SYM), :]
+                 [..., jnp.asarray(GRAY_MAP.astype(np.int32))] + 1e-12)
+    set_mask = jnp.asarray(_BIT_SET)                         # (3, 8)
+    s2e = s2[..., None, :]
+    neg = jnp.float32(-1e30)
+    max_set = jnp.max(jnp.where(set_mask, s2e, neg), axis=-1)
+    max_clr = jnp.max(jnp.where(set_mask, neg, s2e), axis=-1)
+    logl = (max_set - max_clr).reshape(B, M, FT8_LDPC_N)
+
+    # ft8_lib-style variance normalization to sigma^2 = 24
+    ssum = jnp.sum(logl, axis=-1, keepdims=True)
+    s2sum = jnp.sum(logl * logl, axis=-1, keepdims=True)
+    inv_n = 1.0 / FT8_LDPC_N
+    var = (s2sum - ssum * ssum * inv_n) * inv_n
+    norm = jnp.sqrt(24.0 / jnp.maximum(var, 1e-12))
+    return logl * norm, best_score

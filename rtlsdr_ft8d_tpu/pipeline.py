@@ -167,11 +167,7 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
         def run_bp(llrs_in, want_post=False):
             return bp_decode(llrs_in, ldpc_iters, return_posterior=want_post)
 
-    if osd_cands > 0:
-        hard, errors, posterior = run_bp(llrs, want_post=True)
-    else:
-        hard, errors = run_bp(llrs)
-        posterior = None
+    hard, errors = run_bp(llrs)
     ok = (errors == 0) & crc_check(hard) & (cand["score"] >= K_MIN_SCORE)
 
     if ap_cq:
@@ -187,19 +183,42 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
         hard = jnp.where(ok_ap[..., None], hard_ap, hard)
         ok = ok | ok_ap
 
-    out = compact_survivors(wf, cand, hard, errors, ok)
-
     if osd_cands > 0:
-        # Ship the BP POSTERIORS of the best BP-failed candidates to the
-        # host for ordered-statistics reprocessing (ops/osd.py) — OSD on
-        # the sharpened beliefs decodes well below the BP threshold.
+        # Deep-decode retry for the best BP-failed candidates: re-derive
+        # UNQUANTIZED tone magnitudes from the raw samples on a finer
+        # (dt, df) grid (ops/refine.py matched filters), re-run BP on the
+        # refined LLRs — successes merge back as full decodes — and ship
+        # the refined POSTERIORS of the still-failed ones to the host for
+        # ordered-statistics reprocessing (ops/osd.py).
+        from .ops.refine import refine_llrs
+
+        B = llrs.shape[0]
         failed = (errors > 0) & (cand["score"] >= K_MIN_SCORE)
         rank = jnp.where(failed, -cand["score"], 1 << 20)
         order_f = jnp.argsort(rank, axis=-1, stable=True)[..., :osd_cands]
-        out["osd_post"] = jnp.take_along_axis(
-            posterior, order_f[..., None], axis=-2)    # (B, M, 174)
         take_f = lambda x: jnp.take_along_axis(x, order_f, axis=-1)
-        out["osd_valid"] = take_f(failed)
+        cand_sel = {k: take_f(cand[k]) for k in
+                    ("time_sub", "freq_sub", "time_offset", "freq_offset")}
+        llr_ref, _ref_score = refine_llrs(i_samples, q_samples, cand_sel)
+        hard_r, err_r, post_r = bp_decode(llr_ref, ldpc_iters,
+                                          return_posterior=True)
+        was_failed = take_f(failed)
+        ok_r = (err_r == 0) & crc_check(hard_r) & was_failed
+        bidx = jnp.arange(B)[:, None]
+        orig_hard = jnp.take_along_axis(hard, order_f[..., None], axis=-2)
+        hard = hard.at[bidx, order_f].set(
+            jnp.where(ok_r[..., None], hard_r, orig_hard))
+        orig_err = take_f(errors)
+        errors = errors.at[bidx, order_f].set(
+            jnp.where(ok_r, 0, orig_err))
+        orig_ok = take_f(ok)
+        ok = ok.at[bidx, order_f].set(orig_ok | ok_r)
+
+    out = compact_survivors(wf, cand, hard, errors, ok)
+
+    if osd_cands > 0:
+        out["osd_post"] = post_r                       # (B, M, 174)
+        out["osd_valid"] = was_failed & ~ok_r
         out["osd_score"] = take_f(cand["score"]).astype(jnp.int32)
         out["osd_snr_db"] = take_f(estimate_snr(wf, cand))
         out["osd_time_sub"] = take_f(cand["time_sub"]).astype(jnp.uint8)

@@ -66,3 +66,34 @@ def test_osd_batch_rejects_noise_llrs():
     llrs = rng.normal(0, 2.0, (32, 174))
     msgs, accept = osd_batch(llrs)
     assert accept.sum() == 0
+
+
+def test_refined_llrs_decode_offgrid_signal():
+    """Matched-filter refinement (ops/refine.py): a clean off-grid signal
+    whose candidate comes from the quantized waterfall must BP-decode
+    from the refined LLRs."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtlsdr_ft8d_tpu.host.synth import synthesize_message
+    from rtlsdr_ft8d_tpu.ops.ldpc import bp_decode, crc_check
+    from rtlsdr_ft8d_tpu.ops.refine import refine_llrs
+    from rtlsdr_ft8d_tpu.ops.sync import find_sync
+    from rtlsdr_ft8d_tpu.ops.waterfall import waterfall
+
+    bits91, _ = _codeword("K1ABC W9XYZ EN37")
+    sig = synthesize_message("K1ABC W9XYZ EN37", f0_hz=502.7,
+                             amplitude=0.2, noise_sigma=0.01,
+                             start_sample=97,
+                             rng=np.random.default_rng(1))
+    i_s = jnp.asarray(np.real(sig)[None].astype(np.float32))
+    q_s = jnp.asarray(np.imag(sig)[None].astype(np.float32))
+    cand = jax.device_get(find_sync(waterfall(i_s, q_s), 8))
+    sel = {k: jnp.asarray(cand[k][:, :2])
+           for k in ("time_sub", "freq_sub", "time_offset", "freq_offset")}
+    llrs, score = refine_llrs(i_s, q_s, sel)
+    hard, err = bp_decode(llrs, 20)
+    ok = np.asarray((err == 0) & crc_check(hard))
+    assert ok[0, 0]
+    assert np.array_equal(np.asarray(hard[0, 0])[:91], bits91)
+    assert float(score[0, 0]) > 0.0
