@@ -28,6 +28,8 @@ from ..protocol.constants import (BLOCK_SIZE, COSTAS_PATTERN, FT8_LDPC_N,
 from .llr import _BIT_SET, _DATA_SYM
 
 # refinement grids: +-1/4 symbol in time, +-1/4 bin in frequency
+# (a finer 5x5 grid measured NO sensitivity gain — the Costas-power
+# variant pick saturates at quarter-grid residuals)
 _DT_GRID = np.array([-128, 0, 128], dtype=np.int32)          # samples
 _DF_GRID = np.array([-TONE_SPACING_HZ / 4, 0.0,
                      TONE_SPACING_HZ / 4], dtype=np.float64)  # Hz
