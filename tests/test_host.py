@@ -314,3 +314,81 @@ def test_sigterm_stops_daemon_and_sources(monkeypatch):
     # the previous handler must be restored
     assert _signal.getsignal(_signal.SIGTERM) in (_signal.SIG_DFL,
                                                   _signal.Handlers.SIG_DFL)
+
+
+def test_live_loop_stays_aligned_across_windows(monkeypatch):
+    """Three consecutive windows must all decode with the same DT — the
+    loop may not drift after window 0 (round-1 weak #2: no re-alignment
+    control)."""
+    from rtlsdr_ft8d_tpu import native
+    lib = native.load()
+    if lib is None:
+        pytest.skip("native lib unavailable")
+    from rtlsdr_ft8d_tpu.host import daemon, sources
+    from rtlsdr_ft8d_tpu.host.cli import build_parser
+    from rtlsdr_ft8d_tpu.host.sources import SyntheticSource
+    from rtlsdr_ft8d_tpu.protocol.constants import CAPTURE_RATE
+
+    start_t = 3.2
+    burst = SyntheticSource(message="CQ K1JT FN20QI", baseband_hz=500.0,
+                            noise_sigma=0.0)._data
+    burst_len = burst.shape[0] // 2
+    win = 15 * CAPTURE_RATE
+    # one burst per 15-s window, each beginning 0.5 s past its boundary
+    sig_offsets = [int(round((15.0 * (w + 1) + 0.5 - start_t)
+                             * CAPTURE_RATE)) for w in range(3)]
+
+    pushes = {"fn": None}
+
+    class Clock:
+        def __init__(self):
+            self.t = start_t
+            self.emitted = 0
+
+        def now(self):
+            return self.t
+
+        def sleep(self, dt):
+            self.t += dt
+            target = int((self.t - start_t) * CAPTURE_RATE)
+            if pushes["fn"] is None or target <= self.emitted:
+                return
+            s0, s1 = self.emitted, target
+            chunk = np.full(2 * (s1 - s0), 128, np.uint8)
+            for off in sig_offsets:
+                b0, b1 = max(s0, off), min(s1, off + burst_len)
+                if b1 > b0:
+                    chunk.reshape(-1, 2)[b0 - s0:b1 - s0] = \
+                        burst.reshape(-1, 2)[b0 - off:b1 - off]
+            pushes["fn"](chunk)
+            self.emitted = target
+
+    clock = Clock()
+    monkeypatch.setattr(daemon, "_now", clock.now)
+    monkeypatch.setattr(daemon, "_sleep", clock.sleep)
+
+    class FakeRtl:
+        def __init__(self, **kw):
+            pass
+
+        def start(self, on_samples):
+            pushes["fn"] = on_samples
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(sources, "RtlSdrSource", FakeRtl)
+    captured = []
+    monkeypatch.setattr(
+        daemon, "print_spots",
+        lambda decodes, when, *a, **kw: captured.append(list(decodes)))
+
+    args = build_parser().parse_args(
+        ["-f", "20m", "-c", "T1ST", "-l", "AA00", "-n", "3", "-x"])
+    rc = daemon.run_daemon(args)
+    assert rc == 0
+    assert len(captured) == 3
+    for w, decs in enumerate(captured):
+        match = [d for d in decs if "K1JT" in d.text]
+        assert match, (w, decs)
+        assert 0.1 < match[0].time_sec < 0.9, (w, match[0].time_sec)
