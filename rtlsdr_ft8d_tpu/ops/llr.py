@@ -63,6 +63,28 @@ def _tone_mags(wf: jax.Array, cand: dict):
     return s2, valid
 
 
+def _llrs_from_mags(s2, valid):
+    """Shared max-log bit-LLR + ft8_lib variance normalization.
+    s2: (..., 58, 8) quantized tone magnitudes; valid: (..., 58)."""
+    batch_shape = s2.shape[:-2]
+    set_mask = jnp.asarray(_BIT_SET)                     # (3, 8)
+    s2e = s2[..., None, :]                               # (..., 58, 1, 8)
+    neg = jnp.float32(-1e30)
+    max_set = jnp.max(jnp.where(set_mask, s2e, neg), axis=-1)
+    max_clr = jnp.max(jnp.where(set_mask, neg, s2e), axis=-1)
+    logl = max_set - max_clr                             # (..., 58, 3)
+    logl = jnp.where(valid[..., None], logl, 0.0)
+    log174 = logl.reshape(batch_shape + (FT8_LDPC_N,))
+
+    # ft8_lib normalization: scale to variance 24
+    s = jnp.sum(log174, axis=-1, keepdims=True)
+    s2sum = jnp.sum(log174 * log174, axis=-1, keepdims=True)
+    inv_n = 1.0 / FT8_LDPC_N
+    var = (s2sum - s * s * inv_n) * inv_n
+    norm = jnp.sqrt(24.0 / jnp.maximum(var, 1e-12))
+    return log174 * norm
+
+
 def extract_llrs(wf: jax.Array, cand: dict) -> jax.Array:
     """Extract normalized LLRs for each candidate.
 
@@ -75,24 +97,45 @@ def extract_llrs(wf: jax.Array, cand: dict) -> jax.Array:
       (B, K, 174) float32 normalized LLRs.
     """
     s2, valid = _tone_mags(wf, cand)
-    B, K = s2.shape[:2]
+    return _llrs_from_mags(s2, valid)
 
-    set_mask = jnp.asarray(_BIT_SET)                     # (3, 8)
-    s2e = s2[..., None, :]                               # (B, K, 58, 1, 8)
-    neg = jnp.float32(-1e30)
-    max_set = jnp.max(jnp.where(set_mask, s2e, neg), axis=-1)
-    max_clr = jnp.max(jnp.where(set_mask, neg, s2e), axis=-1)
-    logl = max_set - max_clr                             # (B, K, 58, 3)
-    logl = jnp.where(valid[..., None], logl, 0.0)
-    log174 = logl.reshape(B, K, FT8_LDPC_N)
 
-    # ft8_lib normalization: scale to variance 24
-    s = jnp.sum(log174, axis=-1, keepdims=True)
-    s2sum = jnp.sum(log174 * log174, axis=-1, keepdims=True)
-    inv_n = 1.0 / FT8_LDPC_N
-    var = (s2sum - s * s * inv_n) * inv_n
-    norm = jnp.sqrt(24.0 / jnp.maximum(var, 1e-12))
-    return log174 * norm
+def extract_llrs_flat(wf: jax.Array, cand_flat: dict,
+                      chan_idx: jax.Array) -> jax.Array:
+    """LLRs for a FLAT cross-channel candidate selection.
+
+    The global-budget path selects the N best candidates across the whole
+    batch; extracting LLRs only for those (instead of all B*K) removes
+    the pipeline's hottest gather at production budgets.
+
+    Args:
+      wf: (B, 92, 2, 2, 256) uint8 waterfall.
+      cand_flat: dict of (N,) int arrays.
+      chan_idx: (N,) int32 — which batch row each candidate belongs to.
+
+    Returns: (N, 174) float32 normalized LLRs.
+    """
+    ts, fs = cand_flat["time_sub"], cand_flat["freq_sub"]
+    to, fo = cand_flat["time_offset"], cand_flat["freq_offset"]
+    N = ts.shape[0]
+    B = wf.shape[0]
+
+    sym = jnp.asarray(_DATA_SYM)                         # (58,)
+    blocks = to[:, None] + sym[None, :]                  # (N, 58)
+    valid = (blocks >= 0) & (blocks < NUM_BLOCKS)
+    blocks_c = jnp.clip(blocks, 0, NUM_BLOCKS - 1)
+
+    wf_rows = wf.reshape(B * NUM_BLOCKS * 4, NUM_BIN)
+    rowidx = (chan_idx[:, None] * (NUM_BLOCKS * 4)
+              + ((blocks_c * 2 + ts[:, None]) * 2 + fs[:, None]))
+    rows = jnp.take(wf_rows, rowidx.reshape(-1), axis=0) \
+        .reshape(N, FT8_ND, NUM_BIN).astype(jnp.float32)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (N, NUM_BIN), 1)
+    want = fo[:, None, None] + jnp.asarray(_GRAY)[None, None, :]
+    sel = (col[..., None] == want).astype(jnp.float32)   # (N, 256, 8)
+    s2 = jnp.einsum("nsc,ncj->nsj", rows, sel)
+    return _llrs_from_mags(s2, valid)
 
 
 def estimate_snr(wf: jax.Array, cand: dict) -> jax.Array:

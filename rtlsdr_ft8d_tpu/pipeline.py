@@ -131,41 +131,36 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
     wf = jax.lax.optimization_barrier(wf)
     cand = find_sync(wf, num_candidates)
     cand = jax.lax.optimization_barrier(cand)
-    llrs = extract_llrs(wf, cand)
-    llrs = jax.lax.optimization_barrier(llrs)
+    B, K = cand["score"].shape
 
-    if budget is not None and budget < llrs.shape[0] * llrs.shape[1]:
+    if budget is not None and budget < B * K:
         # Global candidate budget (single-chip analogue of the dense
         # path's all-gathered threshold): gather the top-`budget` scoring
-        # candidates ACROSS channels into a compact axis, run BP only on
-        # those, scatter back. On a quiet wide band nearly every channel's
-        # candidates are noise below the cut, so the BP cost drops from
-        # B*K to `budget` instances.
-        B, K = llrs.shape[0], llrs.shape[1]
+        # candidates ACROSS channels into a compact axis, extract LLRs
+        # and run BP only for those, scatter back. On a quiet wide band
+        # nearly every channel's candidates are noise below the cut, so
+        # BOTH the pipeline's hottest gather (tone magnitudes) and the BP
+        # loop shrink from B*K to `budget` instances.
         flat_score = cand["score"].reshape(-1)               # (B*K,)
         _, sel = jax.lax.top_k(flat_score, budget)
+        chan_idx = sel // K
+        cand_flat = {k: cand[k].reshape(-1)[sel] for k in
+                     ("time_sub", "freq_sub", "time_offset", "freq_offset")}
+        from .ops.llr import extract_llrs_flat
+        llrs = extract_llrs_flat(wf, cand_flat, chan_idx)    # (budget, 174)
+        llrs = jax.lax.optimization_barrier(llrs)
 
-        def run_bp(llrs_in, want_post=False):
-            if want_post:
-                hard_sel, errors_sel, post_sel = bp_decode(
-                    llrs_in.reshape(B * K, -1)[sel], ldpc_iters,
-                    return_posterior=True)
-            else:
-                hard_sel, errors_sel = bp_decode(
-                    llrs_in.reshape(B * K, -1)[sel], ldpc_iters)
+        def run_bp(llrs_in):
+            hard_sel, errors_sel = bp_decode(llrs_in, ldpc_iters)
             hard_f = (jnp.zeros((B * K, hard_sel.shape[-1]), hard_sel.dtype)
                       .at[sel].set(hard_sel).reshape(B, K, -1))
             errors_f = (jnp.full((B * K,), 83, errors_sel.dtype)
                         .at[sel].set(errors_sel).reshape(B, K))
-            if want_post:
-                post_f = (jnp.zeros((B * K, post_sel.shape[-1]),
-                                    post_sel.dtype)
-                          .at[sel].set(post_sel).reshape(B, K, -1))
-                return hard_f, errors_f, post_f
             return hard_f, errors_f
     else:
-        def run_bp(llrs_in, want_post=False):
-            return bp_decode(llrs_in, ldpc_iters, return_posterior=want_post)
+        llrs = extract_llrs(wf, cand)                        # (B, K, 174)
+        llrs = jax.lax.optimization_barrier(llrs)
+        run_bp = lambda llrs_in: bp_decode(llrs_in, ldpc_iters)
 
     hard, errors = run_bp(llrs)
     ok = (errors == 0) & crc_check(hard) & (cand["score"] >= K_MIN_SCORE)
@@ -174,7 +169,9 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
         # A-priori pass (WSJT-X-style): clamp the 29 known bits of a
         # hypothetical "CQ ..." message to high-confidence values and re-run
         # BP; accept only where the full CRC-14 still passes. Recovers CQ
-        # calls ~1 dB deeper than the blind pass.
+        # calls ~1 dB deeper than the blind pass. (llrs is either the full
+        # (B, K, 174) tensor or the budgeted (budget, 174) selection; the
+        # prefix clamp and BP runner handle both shapes.)
         ap_mag = jnp.float32(4.9)    # ~sqrt(24), the normalized LLR sigma
         llrs_ap = llrs.at[..., :29].set(_CQ_PREFIX_SIGN * ap_mag)
         hard_ap, errors_ap = run_bp(llrs_ap)
@@ -192,7 +189,7 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
         # ordered-statistics reprocessing (ops/osd.py).
         from .ops.refine import refine_llrs
 
-        B = llrs.shape[0]
+
         failed = (errors > 0) & (cand["score"] >= K_MIN_SCORE)
         rank = jnp.where(failed, -cand["score"], 1 << 20)
         order_f = jnp.argsort(rank, axis=-1, stable=True)[..., :osd_cands]
@@ -220,7 +217,7 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
         out["osd_post"] = post_r                       # (B, M, 174)
         out["osd_valid"] = was_failed & ~ok_r
         out["osd_score"] = take_f(cand["score"]).astype(jnp.int32)
-        out["osd_snr_db"] = take_f(estimate_snr(wf, cand))
+        out["osd_snr_db"] = estimate_snr(wf, cand_sel)
         out["osd_time_sub"] = take_f(cand["time_sub"]).astype(jnp.uint8)
         out["osd_freq_sub"] = take_f(cand["freq_sub"]).astype(jnp.uint8)
         out["osd_time_offset"] = take_f(cand["time_offset"]) \
@@ -248,6 +245,12 @@ def compact_survivors(wf, cand, hard, errors, ok):
         np.array([128, 64, 32, 16, 8, 4, 2, 1], dtype=np.int32))
     packed = jnp.sum(bits96.reshape(bits96.shape[:-1] + (12, 8))
                      .astype(jnp.int32) * weights, axis=-1).astype(jnp.uint8)
+    # SNR is only needed for the <=50 kept survivors — estimating it for
+    # every candidate re-ran the waterfall tone gather on the full (B, K)
+    # set (one of the graph's hottest ops at production budgets)
+    cand50 = {k: take(cand[k]) for k in
+              ("time_sub", "freq_sub", "time_offset", "freq_offset")}
+    snr50 = jnp.round(estimate_snr(wf, cand50) * 2.0).astype(jnp.int32) / 2.0
     return {
         "packed": packed,                                 # (B, 50, 12) uint8
         "n_ok": jnp.sum(ok.astype(jnp.int32), axis=-1),   # (B,)
@@ -256,13 +259,11 @@ def compact_survivors(wf, cand, hard, errors, ok):
         "n_ldpc_ok": jnp.sum((errors == 0).astype(jnp.int32), axis=-1),
         "ok": take(ok),
         "score": take(cand["score"]).astype(jnp.int32),
-        "snr_db": jnp.take_along_axis(
-            jnp.round(estimate_snr(wf, cand) * 2.0).astype(jnp.int32) / 2.0,
-            order, axis=-1),
-        "time_sub": take(cand["time_sub"]).astype(jnp.uint8),
-        "freq_sub": take(cand["freq_sub"]).astype(jnp.uint8),
-        "time_offset": take(cand["time_offset"]).astype(jnp.int8),
-        "freq_offset": take(cand["freq_offset"]).astype(jnp.int32),
+        "snr_db": snr50,
+        "time_sub": cand50["time_sub"].astype(jnp.uint8),
+        "freq_sub": cand50["freq_sub"].astype(jnp.uint8),
+        "time_offset": cand50["time_offset"].astype(jnp.int8),
+        "freq_offset": cand50["freq_offset"].astype(jnp.int32),
     }
 
 
