@@ -64,7 +64,7 @@ def main():
     out = decode_window_device(i_s, q_s)
     np.asarray(out["n_ok"][0:1])
 
-    DEPTH, REPS = 8, 3
+    DEPTH, REPS = 32, 3
 
     def measure(**kw):
         o = decode_window_device(i_s, q_s, **kw)
@@ -74,8 +74,11 @@ def main():
             t0 = time.time()
             outs = [decode_window_device(i_s, q_s, **kw)
                     for _ in range(DEPTH)]
-            for o in outs:
-                np.asarray(o["n_ok"][0:1])
+            # device execution is in-order: completing the LAST launch is
+            # the barrier for all of them (fetching every output would
+            # serialize on the relay's ~28 ms round-trip per fetch and
+            # measure the relay, not the chip)
+            np.asarray(outs[-1]["n_ok"][0:1])
             times.append(time.time() - t0)
         return B * DEPTH / min(times)
 
@@ -113,9 +116,9 @@ def main():
     BIG = 1024
     launches = BIG // B
     t0 = time.time()
-    outs = [decode_window_device(i_s, q_s) for _ in range(launches)]
-    for o in outs:
-        np.asarray(o["n_ok"][0:1])
+    outs = [decode_window_device(i_s, q_s, budget=BUDGET)
+            for _ in range(launches)]
+    np.asarray(outs[-1]["n_ok"][0:1])     # in-order: last = barrier
     dense_s = time.time() - t0
     big_wps = BIG / dense_s
     result["dense_1024ch_windows_per_sec"] = round(big_wps, 1)
