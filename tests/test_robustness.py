@@ -49,3 +49,34 @@ def test_unpack_fuzz_never_hangs():
             assert isinstance(out, str)
         except UnpackError:
             pass
+
+
+def test_all_features_compose():
+    """budget + OSD + AP + multipass together on a mixed batch: every
+    decodable signal found, quiet channels clean."""
+    import numpy as np
+
+    from rtlsdr_ft8d_tpu.host.synth import synthesize_message
+    from rtlsdr_ft8d_tpu.pipeline import decode_window
+
+    rng = np.random.default_rng(11)
+    msgs = {}
+    chans = []
+    for b in range(16):
+        if b % 3 == 0:
+            m = f"CQ W{b}AB FN{b:02d}"
+            msgs[b] = m
+            chans.append(synthesize_message(
+                m, f0_hz=350 + 60 * b, noise_sigma=0.1, amplitude=0.08,
+                rng=np.random.default_rng(b)))
+        else:
+            chans.append((0.1 * rng.standard_normal(48000)
+                          + 0.1j * rng.standard_normal(48000))
+                         .astype(np.complex64))
+    res = decode_window(np.stack(chans), budget=256, osd_cands=4,
+                        ap_cq=True, passes=2)
+    for b, m in msgs.items():
+        assert m in {d.text for d in res[b]}, (b, res[b])
+    for b in range(16):
+        if b not in msgs:
+            assert not res[b], (b, res[b])
