@@ -13,6 +13,7 @@ Prints exactly one JSON line.
 """
 
 import json
+import os as _os
 import sys
 import time
 
@@ -163,6 +164,38 @@ def main():
     result["busy_e2e_host_ms"] = round(host_t * 1000.0, 1)
     result["busy_e2e_spots"] = n_spots
     result["busy_e2e_realtime_ok"] = bool(busy_s <= 15.0)
+
+    # BENCH_WIDEBAND=1: the flagship full-band config — ALL 1500 channels
+    # of one 2.4 MHz capture as a single budgeted batch (compile ~107 s
+    # once; persistent-cached afterwards).
+    if _os.environ.get("BENCH_WIDEBAND") == "1":
+        WB = 1500
+        rng_w = np.random.default_rng(1)
+        wi = 0.05 * rng_w.standard_normal((WB, 48000)).astype(np.float32)
+        wq = 0.05 * rng_w.standard_normal((WB, 48000)).astype(np.float32)
+        seeded = {}
+        for b in range(0, WB, 37):
+            m = msgs[b % 4]
+            sig = synthesize_message(m, f0_hz=300 + (b % 40) * 25,
+                                     noise_sigma=0.0, amplitude=0.05,
+                                     rng=np.random.default_rng(b))
+            wi[b] += np.real(sig)
+            wq[b] += np.imag(sig)
+            seeded[b] = m
+        gi, gq = jnp.asarray(wi), jnp.asarray(wq)
+        o = decode_window_device(gi, gq, budget=4096)
+        np.asarray(o["n_ok"][0:1])
+        t0 = time.time()
+        outs = [decode_window_device(gi, gq, budget=4096) for _ in range(4)]
+        np.asarray(outs[-1]["n_ok"][0:1])
+        per = (time.time() - t0) / 4
+        import jax
+        from rtlsdr_ft8d_tpu.pipeline import unpack_survivors as _us
+        res_w, _ = _us(jax.device_get(outs[-1]), WB)
+        n_ok_w = sum(1 for b, m in seeded.items()
+                     if m in {d.text for d in res_w[b]})
+        result["wideband_1500ch_ms_per_window"] = round(per * 1000.0, 1)
+        result["wideband_correctness"] = f"{n_ok_w}/{len(seeded)}"
 
     print(json.dumps(result))
 

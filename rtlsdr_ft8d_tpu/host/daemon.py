@@ -143,6 +143,12 @@ class WindowProcessor:
     def process_wideband(self, i_f: np.ndarray, q_f: np.ndarray):
         """Channelize the whole capture; decode every selected channel."""
         from ..ops.channelize import channel_center_hz
+        # full-band default: a global candidate budget (~2.7/channel plus
+        # headroom) — 3.1x faster full-band windows, identical decode
+        # lists on quiet-to-normal bands (PERF.md); explicit --budget wins
+        budget = getattr(self.args, "budget", None)
+        if budget is None and len(self.wb_channels) >= 512:
+            budget = 4096
         i_ch, q_ch = self.channelizer.process(i_f, q_f)
         sel = self.wb_channels
         i_b = i_ch[sel]
@@ -157,7 +163,7 @@ class WindowProcessor:
         results = decode_window((i_b, q_b), hashes=self.hashes,
                                 passes=getattr(self.args, "multipass", 1),
                                 ap_cq=getattr(self.args, "ap", False),
-                                budget=getattr(self.args, "budget", None),
+                                budget=budget,
                                 osd_cands=getattr(self.args, "osd", 0))
         per_channel = []
         for k, decodes in zip(sel, results):

@@ -392,3 +392,31 @@ def test_live_loop_stays_aligned_across_windows(monkeypatch):
         match = [d for d in decs if "K1JT" in d.text]
         assert match, (w, decs)
         assert 0.1 < match[0].time_sec < 0.9, (w, match[0].time_sec)
+
+
+def test_multiband_daemon_one_batched_decode(monkeypatch):
+    """Two -f bands decode as ONE batched device call; each band emits
+    its own spots against its own dial frequency and hash table."""
+    from rtlsdr_ft8d_tpu import native
+    lib = native.load()
+    if lib is None:
+        pytest.skip("native lib unavailable")
+    from rtlsdr_ft8d_tpu.host import daemon
+    from rtlsdr_ft8d_tpu.host.cli import build_parser
+
+    calls = []
+    monkeypatch.setattr(
+        daemon, "print_spots",
+        lambda decodes, when, dial_freq_hz=0, **kw:
+            calls.append((dial_freq_hz, [d.text for d in decodes])))
+
+    args = build_parser().parse_args(
+        ["-f", "20m", "-f", "40m", "-c", "T1ST", "-l", "AA00",
+         "--synthetic", "-n", "1", "-x"])
+    rc = daemon.run_daemon(args)
+    assert rc == 0
+    assert len(calls) == 2
+    dials = sorted(c[0] for c in calls)
+    assert dials == [7_074_000, 14_074_000]
+    for _dial, texts in calls:
+        assert any("K1JT" in t for t in texts), calls
