@@ -63,7 +63,9 @@ def decode_file(args) -> int:
     results = decode_window(batches, hashes=hashes,
                             passes=getattr(args, "multipass", 1),
                             ap_cq=getattr(args, "ap", False),
-                            osd_cands=getattr(args, "osd", 0))
+                            osd_cands=getattr(args, "osd", 0),
+                            ap_call=(args.callsign if getattr(
+                                args, "ap", False) else None))
     if n_windows == 1:
         results = [results] if not isinstance(results[0], list) else results
     total = 0
@@ -164,7 +166,9 @@ class WindowProcessor:
                                 passes=getattr(self.args, "multipass", 1),
                                 ap_cq=getattr(self.args, "ap", False),
                                 budget=budget,
-                                osd_cands=getattr(self.args, "osd", 0))
+                                osd_cands=getattr(self.args, "osd", 0),
+                                ap_call=(self.args.callsign if getattr(
+                                    self.args, "ap", False) else None))
         per_channel = []
         for k, decodes in zip(sel, results):
             for d in decodes:
@@ -224,7 +228,9 @@ class WindowProcessor:
             (i_bb, q_bb), hashes=self.hashes, return_stats=True,
             passes=getattr(self.args, "multipass", 1),
             ap_cq=getattr(self.args, "ap", False),
-            osd_cands=getattr(self.args, "osd", 0))
+            osd_cands=getattr(self.args, "osd", 0),
+            ap_call=(self.args.callsign if getattr(
+                self.args, "ap", False) else None))
         return self.emit(decodes, epoch, stats, (time.time() - t0) * 1000.0,
                          i_bb, q_bb)
 
@@ -375,7 +381,9 @@ def run_daemon(args) -> int:
                     (i_b, q_b), hashes=[p.hashes for p in procs],
                     passes=getattr(args, "multipass", 1),
                     ap_cq=getattr(args, "ap", False),
-                    osd_cands=getattr(args, "osd", 0))
+                    osd_cands=getattr(args, "osd", 0),
+                    ap_call=(args.callsign if getattr(
+                        args, "ap", False) else None))
                 for proc, decodes, bb in zip(procs, results, basebands):
                     proc.emit(decodes, epoch, i_bb=bb[0], q_bb=bb[1])
             if args.maxloop and procs[0].windows_done >= args.maxloop:

@@ -95,6 +95,24 @@ _CQ_PREFIX_BITS[26] = 1.0
 _CQ_PREFIX_SIGN = jnp.asarray(2.0 * _CQ_PREFIX_BITS - 1.0)   # ±1
 
 
+def ap_prefix_for_call(call: str) -> np.ndarray | None:
+    """29-bit ±1 prefix (c28a + ipa=0) hypothesizing a message addressed
+    TO `call` — the operator's own callsign in the daemon. None if the
+    call doesn't pack as a standard c28."""
+    from .protocol.pack import PackError, pack_callsign_28
+    from .protocol.text import NTOKENS, MAX22
+
+    try:
+        n28 = pack_callsign_28(call)
+    except PackError:
+        return None
+    if n28 < NTOKENS + MAX22:
+        return None                   # token or hashed — no fixed prefix
+    bits = np.array([(n28 >> (27 - i)) & 1 for i in range(28)] + [0],
+                    np.float32)
+    return 2.0 * bits - 1.0
+
+
 @functools.partial(jax.jit,
                    static_argnames=("num_candidates", "ldpc_iters", "ap_cq",
                                     "budget", "osd_cands"))
@@ -103,7 +121,8 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
                          ldpc_iters: int = K_LDPC_ITERS,
                          ap_cq: bool = False,
                          budget: int | None = None,
-                         osd_cands: int = 0):
+                         osd_cands: int = 0,
+                         ap_prefix_signs: jax.Array | None = None):
     """Device-side decode graph (float32 I/Q, no complex dtypes on device —
     mirrors the reference's `ft8_subsystem(iSamples, qSamples, ...)` API,
     rtlsdr_ft8d.c:1387).
@@ -165,19 +184,28 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
     hard, errors = run_bp(llrs)
     ok = (errors == 0) & crc_check(hard) & (cand["score"] >= K_MIN_SCORE)
 
+    # A-priori passes (WSJT-X-style): clamp the 29 known prefix bits
+    # (c28a + ipa) of a hypothesized message form to high-confidence
+    # values and re-run BP; accept only where the full CRC-14 still
+    # passes. Hypotheses: the universal "CQ ..." prefix (ap_cq) plus any
+    # caller-supplied prefixes — e.g. the operator's own callsign, which
+    # recovers replies addressed TO this station ~1 dB deeper. (llrs is
+    # either the full (B, K, 174) tensor or the budgeted (budget, 174)
+    # selection; the clamp and BP runner handle both shapes.)
+    ap_rows = []
     if ap_cq:
-        # A-priori pass (WSJT-X-style): clamp the 29 known bits of a
-        # hypothetical "CQ ..." message to high-confidence values and re-run
-        # BP; accept only where the full CRC-14 still passes. Recovers CQ
-        # calls ~1 dB deeper than the blind pass. (llrs is either the full
-        # (B, K, 174) tensor or the budgeted (budget, 174) selection; the
-        # prefix clamp and BP runner handle both shapes.)
+        ap_rows.append(_CQ_PREFIX_SIGN)
+    if ap_prefix_signs is not None:
+        for h in range(ap_prefix_signs.shape[0]):      # static shape
+            ap_rows.append(ap_prefix_signs[h])
+    for signs in ap_rows:
         ap_mag = jnp.float32(4.9)    # ~sqrt(24), the normalized LLR sigma
-        llrs_ap = llrs.at[..., :29].set(_CQ_PREFIX_SIGN * ap_mag)
+        llrs_ap = llrs.at[..., :29].set(signs * ap_mag)
         hard_ap, errors_ap = run_bp(llrs_ap)
         ok_ap = (errors_ap == 0) & crc_check(hard_ap) \
             & (cand["score"] >= K_MIN_SCORE) & ~ok
         hard = jnp.where(ok_ap[..., None], hard_ap, hard)
+        errors = jnp.where(ok_ap, 0, errors)
         ok = ok | ok_ap
 
     if osd_cands > 0:
@@ -268,7 +296,8 @@ def compact_survivors(wf, cand, hard, errors, ok):
 
 
 def _decode_pass(i_s, q_s, hashes, num_candidates, ldpc_iters,
-                 ap_cq=False, budget=None, osd_cands=0):
+                 ap_cq=False, budget=None, osd_cands=0,
+                 ap_prefix_signs=None):
     """One device pass + host unpack. Returns (per-channel decode lists,
     per-channel subtraction params, raw out dict).
 
@@ -277,7 +306,7 @@ def _decode_pass(i_s, q_s, hashes, num_candidates, ldpc_iters,
     its own hashed-callsign context)."""
     out = jax.device_get(decode_window_device(
         jnp.asarray(i_s), jnp.asarray(q_s), num_candidates, ldpc_iters,
-        ap_cq, budget, osd_cands))
+        ap_cq, budget, osd_cands, ap_prefix_signs))
     results, sub_params = unpack_survivors(out, i_s.shape[0], hashes)
     if osd_cands > 0:
         _merge_osd_decodes(out, results, sub_params, hashes)
@@ -400,7 +429,8 @@ def decode_window(iq, hashes: CallsignHashTable | None = None,
                   passes: int = 1,
                   ap_cq: bool = False,
                   budget: int | None = None,
-                  osd_cands: int = 0):
+                  osd_cands: int = 0,
+                  ap_call: str | None = None):
     """Decode a batch of channels; returns list (per channel) of Decode lists.
 
     `iq` may be (48000,) or (B, 48000), complex or a (i, q) tuple of float32.
@@ -418,9 +448,15 @@ def decode_window(iq, hashes: CallsignHashTable | None = None,
     else:
         squeeze = False
 
+    ap_prefix_signs = None
+    if ap_call:
+        row = ap_prefix_for_call(ap_call)
+        if row is not None:
+            ap_prefix_signs = jnp.asarray(row[None, :])
     results, sub_params, out = _decode_pass(i_s, q_s, hashes,
                                             num_candidates, ldpc_iters,
-                                            ap_cq, budget, osd_cands)
+                                            ap_cq, budget, osd_cands,
+                                            ap_prefix_signs)
 
     # Multi-pass: subtract every decoded signal and decode the residual
     # (WSJT-X-style; neither the reference nor ft8_lib has this).
@@ -450,7 +486,8 @@ def decode_window(iq, hashes: CallsignHashTable | None = None,
         q_s = np.asarray(q_r)
         res2, sub_params, _ = _decode_pass(i_s, q_s, hashes,
                                            num_candidates, ldpc_iters,
-                                           ap_cq, budget, osd_cands)
+                                           ap_cq, budget, osd_cands,
+                                           ap_prefix_signs)
         for b in range(B):
             known = {d.text for d in results[b]}
             new = [d for d in res2[b] if d.text not in known]

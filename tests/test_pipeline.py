@@ -167,3 +167,45 @@ def test_osd_recovers_bp_failures_and_noise_stays_clean():
              ).astype(np.complex64)
     res = decode_window(noise, osd_cands=8)
     assert sum(len(r) for r in res) == 0
+
+
+def test_mycall_ap_recovers_addressed_replies():
+    """ap_call clamps the c28a prefix to the operator's own callsign,
+    recovering weak replies addressed TO this station; noise stays
+    clean."""
+    import numpy as np
+
+    from rtlsdr_ft8d_tpu.host.synth import synthesize_message
+    from rtlsdr_ft8d_tpu.pipeline import ap_prefix_for_call, decode_window
+    from rtlsdr_ft8d_tpu.protocol.pack import pack77
+
+    # the prefix must equal the real packed bits of an addressed message
+    bits = pack77("VA2GKA W9XYZ R-17").astype(np.float32)
+    row = ap_prefix_for_call("VA2GKA")
+    assert row is not None
+    assert np.array_equal((row > 0).astype(np.float32), bits[:29])
+    # nonstandard calls have no fixed c28 prefix
+    assert ap_prefix_for_call("PJ4/K1ABC") is None
+
+    sigma = 0.1
+    amp = np.sqrt(10 ** (-18.5 / 10.0) * 2 * sigma * sigma * 2500.0 / 3200.0)
+    m = "VA2GKA W9XYZ R-17"
+    N = 12
+    chans = [synthesize_message(m, f0_hz=400 + 30 * t, amplitude=amp,
+                                noise_sigma=sigma,
+                                rng=np.random.default_rng(800 + t))
+             for t in range(N)]
+    batch = np.stack(chans)
+    n_plain = sum(1 for r in decode_window(batch)
+                  if m in {d.text for d in r})
+    n_ap = sum(1 for r in decode_window(batch, ap_call="VA2GKA")
+               if m in {d.text for d in r})
+    assert n_ap >= n_plain
+    assert n_ap >= 4
+
+    rng = np.random.default_rng(0)
+    noise = (sigma * rng.standard_normal((8, 48000))
+             + 1j * sigma * rng.standard_normal((8, 48000))
+             ).astype(np.complex64)
+    res = decode_window(noise, ap_cq=True, ap_call="VA2GKA", osd_cands=4)
+    assert sum(len(r) for r in res) == 0
