@@ -130,8 +130,9 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
     Args:
       i_samples, q_samples: (B, 48000) float32 baseband channels at 3200 sps.
 
-    Returns dict with (B, K) candidate metadata and per-candidate results:
-      hard (B, K, 91) int8, ldpc_errors (B, K) int32, crc_ok (B, K) bool.
+    Returns the compacted survivor dict (see compact_survivors): packed
+    12-byte payloads + metadata for <=50 CRC-clean candidates per channel,
+    plus osd_* fields when osd_cands > 0.
     """
     # Per-window normalization to -3 dB peak (reference C9 normalizer,
     # rtlsdr_ft8d.c:242-263): decode quality must not depend on capture gain.
