@@ -89,8 +89,8 @@ class WindowProcessor:
         self.decimator = StreamingDecimator()
         self.wideband = getattr(args, "wideband", False)
         if self.wideband:
-            from ..ops.channelize import StreamingChannelizer
-            self.channelizer = StreamingChannelizer()
+            from ..ops.channelize import StreamingChannelizerInt8
+            self.channelizer = StreamingChannelizerInt8()
             from ..ops.channelize import NUM_CHANNELS
             sel = getattr(args, "wideband_channels", None)
             if sel:
@@ -122,15 +122,15 @@ class WindowProcessor:
         if hasattr(self, "_int8_decimator"):
             del self._int8_decimator
         if self.wideband:
-            from ..ops.channelize import StreamingChannelizer
-            self.channelizer = StreamingChannelizer()
+            from ..ops.channelize import StreamingChannelizerInt8
+            self.channelizer = StreamingChannelizerInt8()
 
     def process_fullrate(self, i8: np.ndarray, q8: np.ndarray):
         """One 15-s window of mixed int8 baseband at 2.4 Msps."""
         n = (i8.shape[0] // R) * R
         if self.wideband:
-            return self.process_wideband(i8[:n].astype(np.float32) / 128.0,
-                                         q8[:n].astype(np.float32) / 128.0)
+            # int8 straight through: the channelizer dequantizes on device
+            return self.process_wideband(i8[:n], q8[:n])
         if getattr(self.args, "pallas_ingest", False):
             if not hasattr(self, "_int8_decimator"):
                 from ..ops.decimate import StreamingDecimatorInt8
@@ -142,8 +142,9 @@ class WindowProcessor:
                 q8[:n].astype(np.float32) / 128.0)
         return self.process_baseband(i_bb, q_bb)
 
-    def process_wideband(self, i_f: np.ndarray, q_f: np.ndarray):
-        """Channelize the whole capture; decode every selected channel."""
+    def process_wideband(self, i8: np.ndarray, q8: np.ndarray):
+        """Channelize the whole capture (raw int8 IQ in, 4x less
+        host->device bandwidth); decode every selected channel."""
         from ..ops.channelize import channel_center_hz
         # full-band default: a global candidate budget (~2.7/channel plus
         # headroom) — 3.1x faster full-band windows, identical decode
@@ -151,7 +152,7 @@ class WindowProcessor:
         budget = getattr(self.args, "budget", None)
         if budget is None and len(self.wb_channels) >= 512:
             budget = 4096
-        i_ch, q_ch = self.channelizer.process(i_f, q_f)
+        i_ch, q_ch = self.channelizer.process(i8, q8)
         sel = self.wb_channels
         i_b = i_ch[sel]
         q_b = q_ch[sel]

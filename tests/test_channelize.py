@@ -153,3 +153,22 @@ def test_streaming_channelizer_odd_frame_chunks():
                                np.asarray(ref_i), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.concatenate(out_q, axis=1),
                                np.asarray(ref_q), rtol=1e-4, atol=1e-5)
+
+
+def test_int8_streaming_channelizer_matches_float():
+    """The int8 ingest path (on-device dequant) must match the float
+    path exactly: x/128 in float32 is lossless for int8."""
+    from rtlsdr_ft8d_tpu.ops.channelize import StreamingChannelizerInt8
+
+    rng = np.random.default_rng(9)
+    m = 48
+    i8 = rng.integers(-128, 128, m * R).astype(np.int8)
+    q8 = rng.integers(-128, 128, m * R).astype(np.int8)
+    a = StreamingChannelizerInt8()
+    b = StreamingChannelizer()
+    for sl in (slice(0, 23 * R), slice(23 * R, 48 * R)):
+        ai, aq = a.process(i8[sl], q8[sl])
+        bi, bq = b.process(i8[sl].astype(np.float32) / 128.0,
+                           q8[sl].astype(np.float32) / 128.0)
+        np.testing.assert_array_equal(ai, bi)
+        np.testing.assert_array_equal(aq, bq)
