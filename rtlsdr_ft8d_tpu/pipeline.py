@@ -310,7 +310,8 @@ def _decode_pass(i_s, q_s, hashes, num_candidates, ldpc_iters,
         ap_cq, budget, osd_cands, ap_prefix_signs))
     results, sub_params = unpack_survivors(out, i_s.shape[0], hashes)
     if osd_cands > 0:
-        _merge_osd_decodes(out, results, sub_params, hashes)
+        out["n_osd_recovered"] = _merge_osd_decodes(out, results,
+                                                    sub_params, hashes)
     return results, sub_params, out
 
 
@@ -323,10 +324,11 @@ def _merge_osd_decodes(out, results, sub_params, hashes):
     valid = np.asarray(out["osd_valid"])            # (B, M)
     b_idx, m_idx = np.nonzero(valid)
     if b_idx.size == 0:
-        return
+        return 0
     post = np.asarray(out["osd_post"])[b_idx, m_idx]
     msgs, accept = osd_batch(post)
     per_row = isinstance(hashes, (list, tuple))
+    n_recovered = 0
     for n in range(b_idx.size):
         if not accept[n]:
             continue
@@ -361,6 +363,8 @@ def _merge_osd_decodes(out, results, sub_params, hashes):
                               + int(out["osd_freq_sub"][b, m]),
                               int(out["osd_time_offset"][b, m]) * 2
                               + int(out["osd_time_sub"][b, m])))
+        n_recovered += 1
+    return n_recovered
 
 
 def unpack_survivors(out, n_channels, hashes=None):
@@ -505,6 +509,8 @@ def decode_window(iq, hashes: CallsignHashTable | None = None,
             ldpc_converged=int(np.sum(out["n_ldpc_ok"])),
             crc_passed=int(np.sum(out["n_ok"])),
             messages_unique=sum(len(r) for r in results),
+            extra=({"osd_recovered": int(out["n_osd_recovered"])}
+                   if "n_osd_recovered" in out else {}),
         )
         return (results[0] if squeeze else results), stats
     return results[0] if squeeze else results
