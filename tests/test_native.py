@@ -152,3 +152,33 @@ def test_native_pack_long_hostile_inputs():
             msg.encode(),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
         assert rc == 0  # falls back to free text; must not crash/corrupt
+
+
+def test_ring_overrun_counter_and_discard():
+    """New round-2 ring APIs: dropped counts producer overruns (the
+    daemon's drift-control signal); discard advances tail without
+    copying (the UTC-boundary flush)."""
+    ring = lib.ingest_ring_create(1 << 10)          # 1024 samples
+    try:
+        n = 900
+        buf = np.zeros(2 * n, dtype=np.uint8)
+        p = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        assert lib.ingest_ring_push_u8(ring, p, n) == n
+        assert lib.ingest_ring_dropped(ring) == 0
+        # second push overflows: 1024 - 900 = 124 accepted, 776 dropped
+        assert lib.ingest_ring_push_u8(ring, p, n) == 124
+        assert lib.ingest_ring_dropped(ring) == 776
+        assert lib.ingest_ring_available(ring) == 1024
+        # boundary flush
+        assert lib.ingest_ring_discard(ring, 1 << 20) == 1024
+        assert lib.ingest_ring_available(ring) == 0
+        # ring usable again afterwards
+        assert lib.ingest_ring_push_u8(ring, p, 10) == 10
+        i8 = np.zeros(10, np.int8)
+        q8 = np.zeros(10, np.int8)
+        got = lib.ingest_ring_pop(
+            ring, i8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            q8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), 10)
+        assert got == 10
+    finally:
+        lib.ingest_ring_destroy(ring)
