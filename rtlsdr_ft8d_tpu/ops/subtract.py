@@ -12,13 +12,16 @@ Candidate parameters are only half-bin / half-symbol accurate, which caps
 naive subtraction around -10 dB (and ~0 dB for off-grid timing). Three
 refinements recover the rest:
   1. coarse timing: +-1 half-symbol start variants, max energy wins;
-  2. fractional delay: a fine dt search over the tone-dependent phase
-     rotation 2*pi*tone_hz*dt, then the correlation windows shift by the
-     found delay (sign-checked by energy) — without this the CFO step
-     sees garbage and real (arbitrary-timing) signals never cancel;
+  2. fractional delay: two-stage sample-shift search maximizing the
+     consecutive-symbol gain-product coherence |sum g_n conj(g_{n-1})| —
+     immune to the half-bin CFO (a constant frequency error phases every
+     product identically) while timing misalignment scrambles the
+     products through the tone-dependent phases;
   3. frequency: the phase slope of consecutive per-symbol gains on the
-     ALIGNED windows estimates the residual CFO.
-Measured: ~-58 dB residual at ANY sample-level start offset.
+     ALIGNED windows estimates the residual CFO (up to +-1.56 Hz from
+     half-bin quantization, ~120 rad of drift if uncorrected).
+Measured: ~-58 dB residual at ANY sample-level start offset and any
+half-bin frequency offset.
 
 Everything is batched over (channels, messages, 79 symbols, 512 samples)
 as fused elementwise+reduction graphs.
@@ -116,38 +119,42 @@ def subtract_signals(i_s, q_s, tones, base_freq_bin2, start_half_blocks,
 
     # 2. fractional-delay refinement FIRST (a misaligned window corrupts
     # the CFO estimate). The half-symbol timing grid leaves up to +-128
-    # samples of offset; a delay dt rotates symbol n's gain by
-    # 2*pi*f_n*dt. The component common to all symbols (base carrier x
-    # dt) is absorbed by the global gain, but the TONE-dependent part
-    # (2*pi*tone_n*6.25*dt, up to ~11 rad across the grid) destroys the
-    # coherent average — off-grid signals only cancelled to ~0 dB without
-    # this. Search a fine dt grid for maximum tone-phase-aligned energy,
-    # then SHIFT the correlation windows by the found delay.
-    gr, gi, _ = _gains(i_s, q_s, f_hz, idx_c, in_range)
-    sym_valid = jnp.any(in_range, axis=-1).astype(jnp.float32)  # (B, M, 79)
-    G = 65
-    dt_grid = jnp.linspace(-128.0, 128.0, G) / SIGNAL_SAMPLE_RATE
-    df_tone = tones.astype(jnp.float32) * TONE_SPACING_HZ     # (B, M, 79)
-    ang_d = (2.0 * jnp.pi) * df_tone[..., None] * dt_grid     # (B,M,79,G)
-    cd, sd = jnp.cos(ang_d), jnp.sin(ang_d)
-    rr = gr[..., None] * cd + gi[..., None] * sd
-    ri = gi[..., None] * cd - gr[..., None] * sd
-    sv = sym_valid[..., None]
-    coh = (jnp.sum(rr * sv, axis=-2) ** 2
-           + jnp.sum(ri * sv, axis=-2) ** 2)                  # (B, M, G)
-    dt_best = jnp.take(dt_grid, jnp.argmax(coh, axis=-1))     # (B, M)
-    dt_samp = jnp.round(dt_best * SIGNAL_SAMPLE_RATE).astype(jnp.int32)
+    # samples of offset, and a residual delay rotates symbol n's gain by
+    # a tone-DEPENDENT phase no global gain can absorb — off-grid signals
+    # only cancelled to ~0 dB without this. Phase-continuous FSK has a
+    # sharp property: when the windows sit exactly on the true symbol
+    # boundaries, every per-symbol gain has the SAME phase, so the
+    # COHERENT sum |sum_n g_n| peaks sharply at the true delay. Two-stage
+    # sample-shift search (step 16 then step 2) — maximization over
+    # energies, immune to phase-model sign conventions and far more
+    # robust at low SNR than fitting the tone-phase slope.
+    # The half-bin frequency quantization leaves up to +-1.56 Hz of CFO,
+    # which drifts ~120 rad over the transmission — a plain coherent sum
+    # of gains never aligns. The product of CONSECUTIVE symbol gains is
+    # CFO-immune (a constant frequency error contributes the same phase
+    # step 2*pi*df*0.16 to every product), while timing misalignment
+    # still scrambles the products through the tone-dependent phases — so
+    # |sum_n g_n conj(g_{n-1})| is the right alignment metric.
+    def _coherence_search(base_shift, offsets):
+        cohs = []
+        for dt in offsets:
+            idx_s, inr_s = _symbol_windows(start_best, tones,
+                                           base_shift + dt)
+            g_r, g_i, _ = _gains(i_s, q_s, f_hz, idx_s, inr_s)
+            sv = jnp.any(inr_s, axis=-1).astype(jnp.float32)
+            pr = g_r[..., 1:] * g_r[..., :-1] + g_i[..., 1:] * g_i[..., :-1]
+            pi_ = g_i[..., 1:] * g_r[..., :-1] - g_r[..., 1:] * g_i[..., :-1]
+            svv = sv[..., 1:] * sv[..., :-1]
+            cohs.append(jnp.sum(pr * svv, axis=-1) ** 2
+                        + jnp.sum(pi_ * svv, axis=-1) ** 2)   # (B, M)
+        cohs = jnp.stack(cohs, axis=-1)
+        k = jnp.argmax(cohs, axis=-1)                          # (B, M)
+        return base_shift + jnp.take(jnp.asarray(offsets, jnp.int32), k)
 
-    # shift the correlation windows by the found delay; evaluate both
-    # signs and keep the alignment capturing more energy (robust to the
-    # phase-model sign convention)
-    idx_p, inr_p = _symbol_windows(start_best, tones, dt_samp)
-    _, _, e_p = _gains(i_s, q_s, f_hz, idx_p, inr_p)
-    idx_m, inr_m = _symbol_windows(start_best, tones, -dt_samp)
-    _, _, e_m = _gains(i_s, q_s, f_hz, idx_m, inr_m)
-    use_p = (e_p >= e_m)[..., None, None]
-    idx_c = jnp.where(use_p, idx_p, idx_m)
-    in_range = jnp.where(use_p, inr_p, inr_m)
+    zero = jnp.zeros(start_best.shape, jnp.int32)
+    shift = _coherence_search(zero, list(range(-128, 129, 16)))
+    shift = _coherence_search(shift, list(range(-8, 9, 2)))
+    idx_c, in_range = _symbol_windows(start_best, tones, shift)
 
     # 3. frequency refinement from the gain phase slope, on the ALIGNED
     # windows
