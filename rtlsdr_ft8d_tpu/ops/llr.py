@@ -100,21 +100,9 @@ def extract_llrs(wf: jax.Array, cand: dict) -> jax.Array:
     return _llrs_from_mags(s2, valid)
 
 
-def extract_llrs_flat(wf: jax.Array, cand_flat: dict,
-                      chan_idx: jax.Array) -> jax.Array:
-    """LLRs for a FLAT cross-channel candidate selection.
-
-    The global-budget path selects the N best candidates across the whole
-    batch; extracting LLRs only for those (instead of all B*K) removes
-    the pipeline's hottest gather at production budgets.
-
-    Args:
-      wf: (B, 92, 2, 2, 256) uint8 waterfall.
-      cand_flat: dict of (N,) int arrays.
-      chan_idx: (N,) int32 — which batch row each candidate belongs to.
-
-    Returns: (N, 174) float32 normalized LLRs.
-    """
+def _tone_mags_flat(wf: jax.Array, cand_flat: dict, chan_idx: jax.Array):
+    """Flat-selection variant of _tone_mags: (N,) candidates with their
+    channel indices instead of a rectangular (B, K) grid."""
     ts, fs = cand_flat["time_sub"], cand_flat["freq_sub"]
     to, fo = cand_flat["time_offset"], cand_flat["freq_offset"]
     N = ts.shape[0]
@@ -135,7 +123,41 @@ def extract_llrs_flat(wf: jax.Array, cand_flat: dict,
     want = fo[:, None, None] + jnp.asarray(_GRAY)[None, None, :]
     sel = (col[..., None] == want).astype(jnp.float32)   # (N, 256, 8)
     s2 = jnp.einsum("nsc,ncj->nsj", rows, sel)
+    return s2, valid
+
+
+def extract_llrs_flat(wf: jax.Array, cand_flat: dict,
+                      chan_idx: jax.Array) -> jax.Array:
+    """LLRs for a FLAT cross-channel candidate selection.
+
+    The global-budget path selects the N best candidates across the whole
+    batch; extracting LLRs only for those (instead of all B*K) removes
+    the pipeline's hottest gather at production budgets.
+
+    Args:
+      wf: (B, 92, 2, 2, 256) uint8 waterfall.
+      cand_flat: dict of (N,) int arrays.
+      chan_idx: (N,) int32 — which batch row each candidate belongs to.
+
+    Returns: (N, 174) float32 normalized LLRs.
+    """
+    s2, valid = _tone_mags_flat(wf, cand_flat, chan_idx)
     return _llrs_from_mags(s2, valid)
+
+
+def estimate_snr_flat(wf: jax.Array, cand_flat: dict,
+                      chan_idx: jax.Array) -> jax.Array:
+    """Flat-selection variant of estimate_snr: (N,) dB estimates."""
+    s2, valid = _tone_mags_flat(wf, cand_flat, chan_idx)
+    peak = jnp.max(s2, axis=-1)
+    nvalid = jnp.maximum(jnp.sum(valid, axis=-1), 1)
+    sig_half_db = jnp.sum(jnp.where(valid, peak, 0.0), axis=-1) / nvalid
+    wf_f = wf.reshape(wf.shape[0], -1).astype(jnp.float32)
+    m1 = jnp.mean(wf_f, axis=-1, keepdims=True)
+    below = (wf_f <= m1).astype(jnp.float32)
+    noise_half_db = jnp.sum(wf_f * below, axis=-1) \
+        / jnp.maximum(jnp.sum(below, axis=-1), 1.0) + 9.9
+    return 0.5 * (sig_half_db - jnp.take(noise_half_db, chan_idx)) - 26.0
 
 
 def estimate_snr(wf: jax.Array, cand: dict) -> jax.Array:

@@ -54,97 +54,107 @@ def _tone_basis():
     return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
 
 
-def refine_llrs(i_samples: jax.Array, q_samples: jax.Array, cand_sel: dict):
-    """Refined LLRs for a subset of candidates.
+def refine_llrs_flat(i_samples: jax.Array, q_samples: jax.Array,
+                     cand_flat: dict, chan_idx: jax.Array):
+    """Refined LLRs for a FLAT cross-channel candidate selection.
+
+    Memory and compute scale with the number of refined candidates, NOT
+    the channel count — the device graph caps the global selection so a
+    1500-channel wideband window refines the same few hundred best
+    failures as a 64-channel batch.
 
     Args:
       i_samples, q_samples: (B, 48000) float32 baseband.
-      cand_sel: dict of (B, M) int arrays (time_sub/freq_sub/time_offset/
+      cand_flat: dict of (N,) int arrays (time_sub/freq_sub/time_offset/
         freq_offset) — the candidates to refine.
+      chan_idx: (N,) int32 — each candidate's batch row.
 
     Returns:
-      (llrs, best_score): (B, M, 174) float32 refined normalized LLRs and
-      (B, M) float32 best-variant Costas power (linear units) for gating.
+      (llrs, best_score): (N, 174) float32 refined normalized LLRs and
+      (N,) float32 best-variant Costas power (linear units).
     """
-    ts = cand_sel["time_sub"].astype(jnp.int32)
-    fs = cand_sel["freq_sub"].astype(jnp.int32)
-    to = cand_sel["time_offset"].astype(jnp.int32)
-    fo = cand_sel["freq_offset"].astype(jnp.int32)
-    B, M = ts.shape
+    ts = cand_flat["time_sub"].astype(jnp.int32)
+    fs = cand_flat["freq_sub"].astype(jnp.int32)
+    to = cand_flat["time_offset"].astype(jnp.int32)
+    fo = cand_flat["freq_offset"].astype(jnp.int32)
+    N = ts.shape[0]
     NDT, NDF = len(_DT_GRID), len(_DF_GRID)
     n_in = i_samples.shape[-1]
+    flat_i = i_samples.reshape(-1)
+    flat_q = q_samples.reshape(-1)
 
     # start sample of symbol 0 for each (cand, dt). The +256 bias: the
     # waterfall's 1024-pt sine window is centered half a block after the
     # nominal block start (the reference's systematic -0.08 s DT), so the
     # 512-sample rectangular matched filter starts one half-block later.
-    s0 = (to * 2 + ts) * (BLOCK_SIZE // 2) + BLOCK_SIZE // 2  # (B, M)
-    s0 = s0[..., None] + jnp.asarray(_DT_GRID)[None, None, :]   # (B, M, DT)
+    s0 = (to * 2 + ts) * (BLOCK_SIZE // 2) + BLOCK_SIZE // 2    # (N,)
+    s0 = s0[:, None] + jnp.asarray(_DT_GRID)[None, :]           # (N, DT)
 
     # gather the contiguous 79-symbol span per (cand, dt); out-of-range
     # samples clamp to the edge and are masked per symbol below
-    idx = s0[..., None] + jnp.arange(_WINDOW_SAMPLES)[None, None, None, :]
-    idx_c = jnp.clip(idx, 0, n_in - 1).reshape(B, -1)
-    xi = jnp.take_along_axis(i_samples, idx_c, axis=-1) \
-        .reshape(B, M, NDT, FT8_NN, BLOCK_SIZE)
-    xq = jnp.take_along_axis(q_samples, idx_c, axis=-1) \
-        .reshape(B, M, NDT, FT8_NN, BLOCK_SIZE)
+    idx = s0[..., None] + jnp.arange(_WINDOW_SAMPLES)[None, None, :]
+    idx_c = jnp.clip(idx, 0, n_in - 1) \
+        + (chan_idx[:, None, None] * n_in)
+    xi = jnp.take(flat_i, idx_c.reshape(-1), axis=0) \
+        .reshape(N, NDT, FT8_NN, BLOCK_SIZE)
+    xq = jnp.take(flat_q, idx_c.reshape(-1), axis=0) \
+        .reshape(N, NDT, FT8_NN, BLOCK_SIZE)
 
     # downshift by the candidate's center frequency (local per-symbol
     # phase; noncoherent per-symbol energies don't need cross-symbol
     # phase continuity)
     f_c = (fo.astype(jnp.float32) + fs.astype(jnp.float32) / 2.0) \
-        * TONE_SPACING_HZ                                     # (B, M)
+        * TONE_SPACING_HZ                                       # (N,)
     u = jnp.arange(BLOCK_SIZE, dtype=jnp.float32)
     ph = (2.0 * jnp.pi / SIGNAL_SAMPLE_RATE) \
-        * f_c[..., None] * u[None, None, :]                  # (B, M, 512)
-    c = jnp.cos(ph)[:, :, None, None, :]
-    s = jnp.sin(ph)[:, :, None, None, :]
-    mi = xi * c + xq * s                                     # Re(x e^-j ph)
+        * f_c[:, None] * u[None, :]                            # (N, 512)
+    c = jnp.cos(ph)[:, None, None, :]
+    s = jnp.sin(ph)[:, None, None, :]
+    mi = xi * c + xq * s                                       # Re(x e^-jph)
     mq = xq * c - xi * s
 
     # project every symbol window onto the 24-tone basis (two GEMMs)
-    cb, sb = map(jnp.asarray, _tone_basis())                 # (512, 24)
+    cb, sb = map(jnp.asarray, _tone_basis())                   # (512, 24)
     kw = dict(precision=jax.lax.Precision.HIGHEST,
               preferred_element_type=jnp.float32)
-    re = jnp.einsum("bmdnu,uf->bmdnf", mi, cb, **kw) \
-        + jnp.einsum("bmdnu,uf->bmdnf", mq, sb, **kw)
-    im = jnp.einsum("bmdnu,uf->bmdnf", mq, cb, **kw) \
-        - jnp.einsum("bmdnu,uf->bmdnf", mi, sb, **kw)
-    power = (re * re + im * im).reshape(B, M, NDT, FT8_NN, NDF, 8)
+    re = jnp.einsum("ndwu,uf->ndwf", mi, cb, **kw) \
+        + jnp.einsum("ndwu,uf->ndwf", mq, sb, **kw)
+    im = jnp.einsum("ndwu,uf->ndwf", mq, cb, **kw) \
+        - jnp.einsum("ndwu,uf->ndwf", mi, sb, **kw)
+    power = (re * re + im * im).reshape(N, NDT, FT8_NN, NDF, 8)
 
     # per-symbol validity (window fully inside the capture)
-    sym_start = s0[..., None] + jnp.arange(FT8_NN)[None, None, None, :] \
-        * BLOCK_SIZE                                         # (B, M, DT, 79)
+    sym_start = s0[..., None] + jnp.arange(FT8_NN)[None, None, :] \
+        * BLOCK_SIZE                                           # (N, DT, 79)
     sym_valid = (sym_start >= 0) & (sym_start + BLOCK_SIZE <= n_in)
     power = power * sym_valid[..., None, None].astype(jnp.float32)
 
     # Costas power per variant -> pick best (dt, df)
-    sync_p = power[:, :, :, jnp.asarray(_SYNC_SYM), :, :]
+    sync_p = power[:, :, jnp.asarray(_SYNC_SYM), :, :]
     sync_p = jnp.take_along_axis(
-        sync_p, jnp.asarray(_SYNC_TONE)[None, None, None, :, None, None],
-        axis=-1)[..., 0]                                     # (B,M,DT,21,DF)
-    score = jnp.sum(sync_p, axis=3)                          # (B, M, DT, DF)
-    flat = score.reshape(B, M, NDT * NDF)
-    best = jnp.argmax(flat, axis=-1)                         # (B, M)
+        sync_p, jnp.asarray(_SYNC_TONE)[None, None, :, None, None],
+        axis=-1)[..., 0]                                       # (N,DT,21,DF)
+    score = jnp.sum(sync_p, axis=2)                            # (N, DT, DF)
+    flat = score.reshape(N, NDT * NDF)
+    best = jnp.argmax(flat, axis=-1)                           # (N,)
     best_score = jnp.max(flat, axis=-1)
 
     # select the winning variant's (79, 8) powers via one-hot einsum
     onehot = jax.nn.one_hot(best, NDT * NDF, dtype=jnp.float32)
-    pow_v = power.transpose(0, 1, 2, 4, 3, 5) \
-        .reshape(B, M, NDT * NDF, FT8_NN, 8)
-    sel = jnp.einsum("bmv,bmvnj->bmnj", onehot, pow_v, **kw)
+    pow_v = power.transpose(0, 1, 3, 2, 4) \
+        .reshape(N, NDT * NDF, FT8_NN, 8)
+    sel = jnp.einsum("nv,nvwj->nwj", onehot, pow_v, **kw)
 
     # log-domain max-log bit LLRs over the 58 data symbols; Gray demap:
     # symbol value j was transmitted on tone frequency GRAY_MAP[j]
-    s2 = jnp.log(sel[:, :, jnp.asarray(_DATA_SYM), :]
+    s2 = jnp.log(sel[:, jnp.asarray(_DATA_SYM), :]
                  [..., jnp.asarray(GRAY_MAP.astype(np.int32))] + 1e-12)
-    set_mask = jnp.asarray(_BIT_SET)                         # (3, 8)
+    set_mask = jnp.asarray(_BIT_SET)                           # (3, 8)
     s2e = s2[..., None, :]
     neg = jnp.float32(-1e30)
     max_set = jnp.max(jnp.where(set_mask, s2e, neg), axis=-1)
     max_clr = jnp.max(jnp.where(set_mask, neg, s2e), axis=-1)
-    logl = (max_set - max_clr).reshape(B, M, FT8_LDPC_N)
+    logl = (max_set - max_clr).reshape(N, FT8_LDPC_N)
 
     # ft8_lib-style variance normalization to sigma^2 = 24
     ssum = jnp.sum(logl, axis=-1, keepdims=True)
@@ -153,3 +163,13 @@ def refine_llrs(i_samples: jax.Array, q_samples: jax.Array, cand_sel: dict):
     var = (s2sum - ssum * ssum * inv_n) * inv_n
     norm = jnp.sqrt(24.0 / jnp.maximum(var, 1e-12))
     return logl * norm, best_score
+
+
+def refine_llrs(i_samples: jax.Array, q_samples: jax.Array, cand_sel: dict):
+    """(B, M)-shaped wrapper over refine_llrs_flat."""
+    ts = cand_sel["time_sub"]
+    B, M = ts.shape
+    chan = jnp.repeat(jnp.arange(B, dtype=jnp.int32), M)
+    flat = {k: v.reshape(-1) for k, v in cand_sel.items()}
+    llrs, score = refine_llrs_flat(i_samples, q_samples, flat, chan)
+    return llrs.reshape(B, M, -1), score.reshape(B, M)

@@ -215,43 +215,49 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
         # (dt, df) grid (ops/refine.py matched filters), re-run BP on the
         # refined LLRs — successes merge back as full decodes — and ship
         # the refined POSTERIORS of the still-failed ones to the host for
-        # ordered-statistics reprocessing (ops/osd.py).
-        from .ops.refine import refine_llrs
+        # ordered-statistics reprocessing (ops/osd.py). The selection is
+        # FLAT and globally capped: a 1500-channel wideband window refines
+        # the same few hundred best failures as a small batch (refine's
+        # gathers would otherwise scale with B to multi-GB tensors).
+        from .ops.llr import estimate_snr_flat
+        from .ops.refine import refine_llrs_flat
 
-
+        n_osd = min(B * osd_cands, 1024)
         failed = (errors > 0) & (cand["score"] >= K_MIN_SCORE)
-        rank = jnp.where(failed, -cand["score"], 1 << 20)
-        order_f = jnp.argsort(rank, axis=-1, stable=True)[..., :osd_cands]
-        take_f = lambda x: jnp.take_along_axis(x, order_f, axis=-1)
-        cand_sel = {k: take_f(cand[k]) for k in
+        flat_rank = jnp.where(failed, cand["score"], -1).reshape(-1)
+        _, sel_f = jax.lax.top_k(flat_rank, n_osd)        # best failures
+        chan_f = sel_f // K
+        cand_sel = {k: cand[k].reshape(-1)[sel_f] for k in
                     ("time_sub", "freq_sub", "time_offset", "freq_offset")}
-        llr_ref, _ref_score = refine_llrs(i_samples, q_samples, cand_sel)
+        llr_ref, _ref_score = refine_llrs_flat(i_samples, q_samples,
+                                               cand_sel, chan_f)
         hard_r, err_r, post_r = bp_decode(llr_ref, ldpc_iters,
                                           return_posterior=True)
-        was_failed = take_f(failed)
+        was_failed = failed.reshape(-1)[sel_f]
         ok_r = (err_r == 0) & crc_check(hard_r) & was_failed
-        bidx = jnp.arange(B)[:, None]
-        orig_hard = jnp.take_along_axis(hard, order_f[..., None], axis=-2)
-        hard = hard.at[bidx, order_f].set(
-            jnp.where(ok_r[..., None], hard_r, orig_hard))
-        orig_err = take_f(errors)
-        errors = errors.at[bidx, order_f].set(
-            jnp.where(ok_r, 0, orig_err))
-        orig_ok = take_f(ok)
-        ok = ok.at[bidx, order_f].set(orig_ok | ok_r)
+        hard_flat = hard.reshape(B * K, -1)
+        hard = hard_flat.at[sel_f].set(
+            jnp.where(ok_r[:, None], hard_r, hard_flat[sel_f])) \
+            .reshape(B, K, -1)
+        err_flat = errors.reshape(-1)
+        errors = err_flat.at[sel_f].set(
+            jnp.where(ok_r, 0, err_flat[sel_f])).reshape(B, K)
+        ok_flat = ok.reshape(-1)
+        ok = ok_flat.at[sel_f].set(ok_flat[sel_f] | ok_r).reshape(B, K)
 
     out = compact_survivors(wf, cand, hard, errors, ok)
 
     if osd_cands > 0:
-        out["osd_post"] = post_r                       # (B, M, 174)
-        out["osd_valid"] = was_failed & ~ok_r
-        out["osd_score"] = take_f(cand["score"]).astype(jnp.int32)
-        out["osd_snr_db"] = estimate_snr(wf, cand_sel)
-        out["osd_time_sub"] = take_f(cand["time_sub"]).astype(jnp.uint8)
-        out["osd_freq_sub"] = take_f(cand["freq_sub"]).astype(jnp.uint8)
-        out["osd_time_offset"] = take_f(cand["time_offset"]) \
-            .astype(jnp.int8)
-        out["osd_freq_offset"] = take_f(cand["freq_offset"]) \
+        out["osd_post"] = post_r                       # (n_osd, 174)
+        out["osd_valid"] = was_failed & ~ok_r          # (n_osd,)
+        out["osd_chan"] = chan_f.astype(jnp.int32)
+        out["osd_score"] = cand["score"].reshape(-1)[sel_f] \
+            .astype(jnp.int32)
+        out["osd_snr_db"] = estimate_snr_flat(wf, cand_sel, chan_f)
+        out["osd_time_sub"] = cand_sel["time_sub"].astype(jnp.uint8)
+        out["osd_freq_sub"] = cand_sel["freq_sub"].astype(jnp.uint8)
+        out["osd_time_offset"] = cand_sel["time_offset"].astype(jnp.int8)
+        out["osd_freq_offset"] = cand_sel["freq_offset"] \
             .astype(jnp.int32)
     return out
 
@@ -321,48 +327,49 @@ def _merge_osd_decodes(out, results, sub_params, hashes):
     per-channel decode lists."""
     from .ops.osd import osd_batch
 
-    valid = np.asarray(out["osd_valid"])            # (B, M)
-    b_idx, m_idx = np.nonzero(valid)
-    if b_idx.size == 0:
+    valid = np.asarray(out["osd_valid"])            # (n_osd,)
+    n_idx = np.nonzero(valid)[0]
+    if n_idx.size == 0:
         return 0
-    post = np.asarray(out["osd_post"])[b_idx, m_idx]
+    post = np.asarray(out["osd_post"])[n_idx]
+    chan = np.asarray(out["osd_chan"])
     msgs, accept = osd_batch(post)
     per_row = isinstance(hashes, (list, tuple))
     n_recovered = 0
-    for n in range(b_idx.size):
-        if not accept[n]:
+    for j, n in enumerate(n_idx):
+        if not accept[j]:
             continue
-        b, m = int(b_idx[n]), int(m_idx[n])
+        b = int(chan[n])
         # false-decode gates beyond the CRC: OSD reprocessing only trusts
         # candidates with real sync evidence (score >= 13; pure-noise
         # candidates cluster at 10-12), and never surfaces raw-typed
         # payloads (a genuine type-5..7 signal surviving only via OSD is
         # vastly less likely than a 14-bit CRC collision)
-        if out["osd_score"][b, m] < 13:
+        if out["osd_score"][n] < 13:
             continue
         row_hashes = hashes[b] if per_row else hashes
         try:
-            text, call, loc, is_cq = unpack_spot(msgs[n][:77], row_hashes)
+            text, call, loc, is_cq = unpack_spot(msgs[j][:77], row_hashes)
         except UnpackError:
             continue
         if text.startswith("<type"):
             continue
         if any(d.text == text for d in results[b]):
             continue
-        freq_hz = (out["osd_freq_offset"][b, m]
-                   + out["osd_freq_sub"][b, m] / 2.0) * TONE_SPACING_HZ
-        time_sec = (out["osd_time_offset"][b, m]
-                    + out["osd_time_sub"][b, m] / 2.0) * 0.16
+        freq_hz = (out["osd_freq_offset"][n]
+                   + out["osd_freq_sub"][n] / 2.0) * TONE_SPACING_HZ
+        time_sec = (out["osd_time_offset"][n]
+                    + out["osd_time_sub"][n] / 2.0) * 0.16
         results[b].append(Decode(
             text=text, freq_hz=float(freq_hz), time_sec=float(time_sec),
-            score=int(out["osd_score"][b, m]),
-            snr_db=float(np.round(out["osd_snr_db"][b, m] * 2.0) / 2.0),
+            score=int(out["osd_score"][n]),
+            snr_db=float(np.round(out["osd_snr_db"][n] * 2.0) / 2.0),
             call_field=call, loc_field=loc, cq_field=is_cq))
-        sub_params[b].append((msgs[n],
-                              int(out["osd_freq_offset"][b, m]) * 2
-                              + int(out["osd_freq_sub"][b, m]),
-                              int(out["osd_time_offset"][b, m]) * 2
-                              + int(out["osd_time_sub"][b, m])))
+        sub_params[b].append((msgs[j],
+                              int(out["osd_freq_offset"][n]) * 2
+                              + int(out["osd_freq_sub"][n]),
+                              int(out["osd_time_offset"][n]) * 2
+                              + int(out["osd_time_sub"][n])))
         n_recovered += 1
     return n_recovered
 
