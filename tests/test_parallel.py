@@ -124,3 +124,32 @@ def test_time_sharded_channelization_odd_frames_per_device():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_q), np.asarray(ref_q),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_budget_osd_matches_single_device():
+    """budget + osd under GSPMD sharding must produce the same survivors
+    as the single-device graph (collectives inserted by XLA for the
+    global top-k and flat gathers)."""
+    import jax
+
+    from rtlsdr_ft8d_tpu.host.synth import synthesize_message
+    from rtlsdr_ft8d_tpu.parallel.sharding import (decode_window_sharded,
+                                                   make_mesh)
+    from rtlsdr_ft8d_tpu.pipeline import decode_window_device
+
+    chans = [synthesize_message(f"CQ K{b}AA FN0{b}", f0_hz=300 + 120 * b,
+                                amplitude=0.1, noise_sigma=0.1,
+                                rng=np.random.default_rng(b))
+             for b in range(8)]
+    batch = np.stack(chans)
+    i_s = np.real(batch).astype(np.float32)
+    q_s = np.imag(batch).astype(np.float32)
+    mesh = make_mesh(8)
+    out_s = jax.device_get(decode_window_sharded(
+        i_s, q_s, mesh, budget=128, osd_cands=2))
+    out_1 = jax.device_get(decode_window_device(
+        jnp.asarray(i_s), jnp.asarray(q_s), budget=128, osd_cands=2))
+    np.testing.assert_array_equal(np.asarray(out_s["packed"]),
+                                  np.asarray(out_1["packed"]))
+    np.testing.assert_array_equal(np.asarray(out_s["ok"]),
+                                  np.asarray(out_1["ok"]))
