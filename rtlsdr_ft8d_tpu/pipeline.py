@@ -446,6 +446,14 @@ def decode_window(iq, hashes: CallsignHashTable | None = None,
     """Decode a batch of channels; returns list (per channel) of Decode lists.
 
     `iq` may be (48000,) or (B, 48000), complex or a (i, q) tuple of float32.
+    `hashes`: one CallsignHashTable or a per-channel list (multi-band).
+    `passes`: multipass subtraction decoding (WSJT-X-style).
+    `ap_cq` / `ap_call`: a-priori prefix hypotheses (universal CQ and/or
+      the operator's own callsign).
+    `budget`: global candidate budget — LDPC + LLR extraction only for
+      the N best-scoring candidates across the whole batch.
+    `osd_cands`: per-channel quota for the deep-decode retry (matched-
+      filter refinement + BP + OSD; globally capped at 1024 candidates).
     """
     if isinstance(iq, tuple):
         i_s, q_s = (np.asarray(iq[0], np.float32), np.asarray(iq[1],
