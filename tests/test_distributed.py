@@ -16,6 +16,7 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 import jax
+import jax.numpy as jnp
 
 from rtlsdr_ft8d_tpu.parallel.distributed import (initialize,
                                                   make_global_grid_mesh,
@@ -59,7 +60,36 @@ for r in range(packed.shape[0]):
         texts.add(unpack77(np.unpackbits(packed[r, k])[:77]))
 missing = [m for m in msgs if m not in texts]
 assert not missing, (pid, missing, texts)
-print(f"proc {pid} OK: decoded {sorted(texts)}", flush=True)
+
+# sequence-parallel halo across PROCESS boundaries: the 750x decimator's
+# overlap-save ppermute must carry state from the last device of proc 0
+# to the first device of proc 1
+from rtlsdr_ft8d_tpu.parallel.halo import TIME_AXIS, decimate_time_sharded
+from rtlsdr_ft8d_tpu.ops.decimate import HISTORY, polyphase_decimate
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+tmesh = Mesh(np.asarray(jax.devices()), (TIME_AXIS,))
+n_dev = len(jax.devices())
+n = n_dev * 8 * 750
+rng = np.random.default_rng(77)
+x = rng.standard_normal(n).astype(np.float32)
+y = rng.standard_normal(n).astype(np.float32)
+tsh = NamedSharding(tmesh, P(TIME_AXIS))
+per = n // jax.process_count()
+lo = pid * per
+gx = jax.make_array_from_process_local_data(tsh, x[lo:lo + per])
+gy = jax.make_array_from_process_local_data(tsh, y[lo:lo + per])
+di, dq = decimate_time_sharded(gx, gy, tmesh)
+# reference: full-stream decimation computed locally
+pad = np.zeros(HISTORY, np.float32)
+ri, _ = polyphase_decimate(jnp.asarray(np.concatenate([pad, x])),
+                           jnp.asarray(np.concatenate([pad, y])))
+mine = np.concatenate([np.asarray(s.data) for s in sorted(
+    di.addressable_shards, key=lambda s: s.index[0].start or 0)])
+start = lo // 750
+ref_slice = np.asarray(ri)[start:start + mine.shape[0]]
+np.testing.assert_allclose(mine, ref_slice, rtol=1e-4, atol=1e-5)
+print(f"proc {pid} OK: decoded {sorted(texts)}; halo ok", flush=True)
 """
 
 
