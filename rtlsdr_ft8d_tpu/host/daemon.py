@@ -163,13 +163,20 @@ class WindowProcessor:
         i_b, q_b = i_b[:, :WINDOW], q_b[:, :WINDOW]
         epoch = int(_now()) - SIGNAL_LENGTH_S + 1
         when = datetime.fromtimestamp(epoch, timezone.utc)
-        results = decode_window((i_b, q_b), hashes=self.hashes,
-                                passes=getattr(self.args, "multipass", 1),
-                                ap_cq=getattr(self.args, "ap", False),
-                                budget=budget,
-                                osd_cands=getattr(self.args, "osd", 0),
-                                ap_call=(self.args.callsign if getattr(
-                                    self.args, "ap", False) else None))
+        t0 = time.time()
+        results, stats = decode_window(
+            (i_b, q_b), hashes=self.hashes, return_stats=True,
+            passes=getattr(self.args, "multipass", 1),
+            ap_cq=getattr(self.args, "ap", False),
+            budget=budget,
+            osd_cands=getattr(self.args, "osd", 0),
+            ap_call=(self.args.callsign if getattr(
+                self.args, "ap", False) else None))
+        if getattr(self.args, "stats", False):
+            from .log import logger
+            stats.epoch = epoch
+            stats.decode_ms = (time.time() - t0) * 1000.0
+            logger.info(stats.to_json())
         per_channel = []
         for k, decodes in zip(sel, results):
             for d in decodes:
