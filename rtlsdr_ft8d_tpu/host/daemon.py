@@ -18,7 +18,7 @@ from datetime import datetime, timezone
 
 import numpy as np
 
-from ..ops.decimate import HISTORY, R, StreamingDecimator
+from ..ops.decimate import R, StreamingDecimator
 from ..pipeline import decode_window
 from ..protocol.constants import (CAPTURE_RATE, SIGNAL_LENGTH_S,
                                   SIGNAL_SAMPLE_RATE)

@@ -23,8 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..protocol.constants import (BLOCK_SIZE, COSTAS_PATTERN, FT8_LDPC_N,
-                                  FT8_ND, FT8_NN, GRAY_MAP,
-                                  SIGNAL_SAMPLE_RATE, TONE_SPACING_HZ)
+                                  FT8_NN, GRAY_MAP, SIGNAL_SAMPLE_RATE,
+                                  TONE_SPACING_HZ)
 from .llr import _BIT_SET, _DATA_SYM
 
 # refinement grids: +-1/4 symbol in time, +-1/4 bin in frequency

@@ -35,8 +35,7 @@ from .ops.waterfall import waterfall
 from .protocol.constants import (FT8_LDPC_K, K_LDPC_ITERS, K_MAX_CANDIDATES,
                                  K_MAX_MESSAGES, K_MIN_SCORE, TONE_SPACING_HZ)
 from .protocol.text import CallsignHashTable
-from .protocol.unpack import (UnpackError, unpack77, unpack_spot,
-                              unpack_spots_batch)
+from .protocol.unpack import UnpackError, unpack_spot, unpack_spots_batch
 
 
 @dataclass
