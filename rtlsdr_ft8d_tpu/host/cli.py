@@ -12,7 +12,7 @@ reference ships with reporting hard-disabled, c:366 — here it is opt-in),
 import argparse
 import sys
 
-VERSION = "0.1.0"
+VERSION = "0.2.0"
 
 # Band plan table (reference rtlsdr_ft8d.c:1047-1102).
 # name -> (dial freq Hz, auto direct-sampling mode)
