@@ -735,6 +735,7 @@ struct Ft8SpotText {
 static void spot_fields(const uint8_t* bits, Ft8SpotText* r) {
   int i3 = static_cast<int>(get_bits(bits, 74, 3));
   char ca[20], cb[20];
+  ca[0] = cb[0] = 0;  // unpack_c28 may return false without writing
   if (i3 == 1 || i3 == 2) {
     uint32_t n28a = static_cast<uint32_t>(get_bits(bits, 0, 28));
     uint32_t n28b = static_cast<uint32_t>(get_bits(bits, 29, 28));
@@ -742,7 +743,8 @@ static void spot_fields(const uint8_t* bits, Ft8SpotText* r) {
     int ir = bits[58];
     int g15 = static_cast<int>(get_bits(bits, 59, 15));
     r->is_cq = (n28a >= 2 && n28a <= 532443) ? 1 : 0;
-    if (unpack_c28(n28b, ipb, i3, cb, sizeof cb)) {
+    bool okb = unpack_c28(n28b, ipb, i3, cb, sizeof cb);
+    if (okb) {
       if (cb[0] == '<') r->call[0] = 0;
       else snprintf(r->call, sizeof r->call, "%s", cb);
     }
@@ -755,7 +757,7 @@ static void spot_fields(const uint8_t* bits, Ft8SpotText* r) {
       sl = strstr(ca, "/P"); if (sl) *sl = 0;
       snprintf(r->add_a, sizeof r->add_a, "%s", ca);
     }
-    if (cb[0] != '<' && strncmp(cb, "CQ", 2)) {
+    if (okb && cb[0] != '<' && strncmp(cb, "CQ", 2)) {
       char* sl = strstr(cb, "/R"); if (sl) *sl = 0;
       sl = strstr(cb, "/P"); if (sl) *sl = 0;
       snprintf(r->add_b, sizeof r->add_b, "%s", cb);

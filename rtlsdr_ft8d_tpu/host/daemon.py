@@ -60,9 +60,17 @@ def decode_file(args) -> int:
         i_s = np.pad(i_s, (0, pad))
         q_s = np.pad(q_s, (0, pad))
     batches = (i_s.reshape(n_windows, WINDOW), q_s.reshape(n_windows, WINDOW))
+    # replay must use the live path's squelch config: honor --budget, and
+    # apply the same >=512-channel auto-budget rule as the wideband daemon
+    # (process_wideband below) so a recorded capture replays with exactly
+    # the production semantics
+    budget = getattr(args, "budget", None)
+    if budget is None and n_windows >= 512:
+        budget = 4096
     results = decode_window(batches, hashes=hashes,
                             passes=getattr(args, "multipass", 1),
                             ap_cq=getattr(args, "ap", False),
+                            budget=budget,
                             osd_cands=getattr(args, "osd", 0),
                             ap_call=(args.callsign if getattr(
                                 args, "ap", False) else None))

@@ -34,9 +34,6 @@ def initialize(coordinator: str | None = None,
     With no arguments, relies on the environment (TPU pod metadata or
     JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID).
     """
-    from jax._src import distributed as _dist
-    if _dist.global_state.client is not None:
-        return                        # already initialized
     kwargs = {}
     if coordinator:
         kwargs["coordinator_address"] = coordinator
@@ -44,7 +41,14 @@ def initialize(coordinator: str | None = None,
         kwargs["num_processes"] = num_processes
     if process_id is not None:
         kwargs["process_id"] = process_id
-    jax.distributed.initialize(**kwargs)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        # initialize() raises if the runtime is already up — the only
+        # public idempotency signal (probing jax._src internals breaks
+        # across JAX upgrades)
+        if "already" not in str(e).lower():
+            raise
 
 
 def make_global_grid_mesh(chips_per_host: int | None = None) -> Mesh:

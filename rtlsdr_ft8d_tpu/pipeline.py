@@ -152,7 +152,9 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
     cand = jax.lax.optimization_barrier(cand)
     B, K = cand["score"].shape
 
-    if budget is not None and budget < B * K:
+    # budget in (None, 0) means unbudgeted (an explicit --budget 0 must not
+    # run top_k with k=0 and silently decode nothing)
+    if budget and budget < B * K:
         # Global candidate budget (single-chip analogue of the dense
         # path's all-gathered threshold): gather the top-`budget` scoring
         # candidates ACROSS channels into a compact axis, extract LLRs
@@ -221,7 +223,7 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
         from .ops.llr import estimate_snr_flat
         from .ops.refine import refine_llrs_flat
 
-        n_osd = min(B * osd_cands, 1024)
+        n_osd = min(B * osd_cands, 1024, B * K)
         failed = (errors > 0) & (cand["score"] >= K_MIN_SCORE)
         flat_rank = jnp.where(failed, cand["score"], -1).reshape(-1)
         _, sel_f = jax.lax.top_k(flat_rank, n_osd)        # best failures

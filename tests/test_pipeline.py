@@ -101,6 +101,23 @@ def test_ap_no_false_decodes_on_noise():
     assert decode_window(iq, ap_cq=True) == []
 
 
+def test_budget_zero_is_unbudgeted():
+    """An explicit --budget 0 means 'no budget' — it must not run top_k
+    with k=0 and silently decode nothing (ADVICE r2)."""
+    iq = synthesize_message("CQ K1JT FN20", f0_hz=500.0, noise_sigma=0.1,
+                            rng=np.random.default_rng(7))
+    assert "CQ K1JT FN20" in texts(decode_window(iq, budget=0))
+
+
+def test_osd_quota_clamped_to_candidate_count():
+    """osd_cands exceeding num_candidates on a small batch must clamp the
+    selection to B*K, not crash lax.top_k at trace time (ADVICE r2)."""
+    iq = synthesize_message("CQ K1JT FN20", f0_hz=500.0, noise_sigma=0.1,
+                            rng=np.random.default_rng(8))
+    res = decode_window(iq, num_candidates=16, osd_cands=150)
+    assert "CQ K1JT FN20" in texts(res)
+
+
 def test_global_budget_decodes_active_channels():
     """budget=N runs BP only on the N best candidates across channels;
     signals still decode, quiet channels cost nothing."""
