@@ -102,5 +102,11 @@ def load(build_if_missing=True):
     lib.ft8_unpack_spot_batch.argtypes = [ctypes.POINTER(ctypes.c_uint8),
                                           ctypes.c_int,
                                           ctypes.POINTER(Ft8SpotText)]
+    lib.ft8_osd_batch.restype = ctypes.c_int
+    lib.ft8_osd_batch.argtypes = [ctypes.POINTER(ctypes.c_float),
+                                  ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                  ctypes.c_int, ctypes.c_double,
+                                  ctypes.POINTER(ctypes.c_uint8),
+                                  ctypes.POINTER(ctypes.c_uint8)]
     _LIB = lib
     return _LIB

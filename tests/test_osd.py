@@ -68,6 +68,76 @@ def test_osd_batch_rejects_noise_llrs():
     assert accept.sum() == 0
 
 
+def _mixed_llrs(seed=42, n_noise=17):
+    """Decodable + marginal + pure-noise LLR rows, float32 so the native
+    (float32 in), numpy and scalar paths all see identical values."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for text in ("CQ K1JT FN20", "K1ABC W9XYZ EN37", "CQ DX F8ABC JN05"):
+        _, cw = _codeword(text)
+        signs = 2.0 * cw.astype(np.float64) - 1.0
+        for noise in (0.5, 1.5, 1.9, 2.3, 2.8):
+            rows.append(signs * 2.0 + rng.normal(0, noise, 174))
+    for _ in range(n_noise):
+        rows.append(rng.normal(0, 2.0, 174))        # pure noise
+    return np.stack(rows).astype(np.float32)
+
+
+def test_osd_batch_paths_match_scalar():
+    """The native C++ path (native/osd.cc) and the vectorized numpy path
+    must both produce IDENTICAL accept decisions and messages to the
+    per-candidate osd_decode loop, across decodable, marginal and
+    pure-noise LLRs."""
+    from rtlsdr_ft8d_tpu.native import load
+    from rtlsdr_ft8d_tpu.ops.osd import osd_batch_numpy, osd_batch_scalar
+
+    llrs = _mixed_llrs()
+    m_s, a_s = osd_batch_scalar(llrs)
+    assert a_s.sum() >= 5                           # corpus is non-trivial
+    m_n, a_n = osd_batch_numpy(llrs)
+    assert np.array_equal(a_n, a_s)
+    assert np.array_equal(m_n[a_n], m_s[a_s])
+    if load() is not None:
+        m_c, a_c = osd_batch(llrs)                  # native dispatch
+        assert np.array_equal(a_c, a_s)
+        assert np.array_equal(m_c[a_c], m_s[a_s])
+
+
+def test_osd_batch_parity_fuzz():
+    """Wider randomized parity fuzz native vs numpy vs scalar (the three
+    implementations share no code beyond the E matrix)."""
+    from rtlsdr_ft8d_tpu.ops.osd import osd_batch_numpy, osd_batch_scalar
+
+    for seed in (7, 1234, 999):
+        llrs = _mixed_llrs(seed=seed, n_noise=9)
+        m_s, a_s = osd_batch_scalar(llrs)
+        for impl in (osd_batch, osd_batch_numpy):
+            m, a = impl(llrs)
+            assert np.array_equal(a, a_s), (impl.__name__, seed)
+            assert np.array_equal(m[a], m_s[a_s]), (impl.__name__, seed)
+
+
+def test_osd_batch_vectorized_speed():
+    """The batch path must be >=10x faster than the scalar loop
+    (VERDICT r2 #3: production windows ship up to 1024 failures)."""
+    import time
+
+    rng = np.random.default_rng(9)
+    _, cw = _codeword()
+    signs = 2.0 * cw.astype(np.float64) - 1.0
+    llrs = np.stack([signs * 2.0 + rng.normal(0, 1.8, 174)
+                     for _ in range(64)]).astype(np.float32)
+    from rtlsdr_ft8d_tpu.ops.osd import osd_batch_scalar
+    osd_batch(llrs[:4])                             # warm caches
+    t0 = time.perf_counter()
+    osd_batch(llrs)
+    t_vec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    osd_batch_scalar(llrs)
+    t_scal = time.perf_counter() - t0
+    assert t_scal / t_vec >= 10.0, (t_scal, t_vec)
+
+
 def test_refined_llrs_decode_offgrid_signal():
     """Matched-filter refinement (ops/refine.py): a clean off-grid signal
     whose candidate comes from the quantized waterfall must BP-decode
