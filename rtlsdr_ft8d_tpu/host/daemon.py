@@ -94,6 +94,14 @@ class WindowProcessor:
         self.args = args
         self.dial_freq = dial_freq_hz
         self.hashes = CallsignHashTable()
+        # QSO-state continuation AP (ops/ap.py): with --ap, track active
+        # call pairs across windows and hypothesize their next
+        # transmissions as a codeword enumeration bank
+        if getattr(args, "ap", False):
+            from ..ops.ap import QsoTracker
+            self.qso = QsoTracker()
+        else:
+            self.qso = None
         self.decimator = StreamingDecimator()
         self.wideband = getattr(args, "wideband", False)
         if self.wideband:
@@ -179,7 +187,8 @@ class WindowProcessor:
             budget=budget,
             osd_cands=getattr(self.args, "osd", 0),
             ap_call=(self.args.callsign if getattr(
-                self.args, "ap", False) else None))
+                self.args, "ap", False) else None),
+            ap_texts=(self.qso.bank() if self.qso else None))
         if getattr(self.args, "stats", False):
             from .log import logger
             stats.epoch = epoch
@@ -192,6 +201,8 @@ class WindowProcessor:
             per_channel.append((k, decodes))
         from ..ops.channelize import dedup_wideband
         all_decodes = dedup_wideband(per_channel)
+        if self.qso:
+            self.qso.observe(all_decodes)
         print_spots(all_decodes, when, self.dial_freq)
         self.reporter.report(all_decodes, self.dial_freq, epoch)
         self.windows_done += 1
@@ -246,7 +257,10 @@ class WindowProcessor:
             ap_cq=getattr(self.args, "ap", False),
             osd_cands=getattr(self.args, "osd", 0),
             ap_call=(self.args.callsign if getattr(
-                self.args, "ap", False) else None))
+                self.args, "ap", False) else None),
+            ap_texts=(self.qso.bank() if self.qso else None))
+        if self.qso:
+            self.qso.observe(decodes)
         return self.emit(decodes, epoch, stats, (time.time() - t0) * 1000.0,
                          i_bb, q_bb)
 
@@ -399,8 +413,12 @@ def run_daemon(args) -> int:
                     ap_cq=getattr(args, "ap", False),
                     osd_cands=getattr(args, "osd", 0),
                     ap_call=(args.callsign if getattr(
-                        args, "ap", False) else None))
+                        args, "ap", False) else None),
+                    ap_texts=(procs[0].qso.bank()
+                              if procs[0].qso else None))
                 for proc, decodes, bb in zip(procs, results, basebands):
+                    if procs[0].qso:
+                        procs[0].qso.observe(decodes)
                     proc.emit(decodes, epoch, i_bb=bb[0], q_bb=bb[1])
             if args.maxloop and procs[0].windows_done >= args.maxloop:
                 stop = True

@@ -87,29 +87,12 @@ class Decode:
         return parts[-1] if len(parts) >= 3 and len(parts[-1]) == 4 else ""
 
 
-# The 29 known payload bits of any "CQ ..." type-1 message: c28a = 2
-# (binary ...10) followed by ipa = 0 (protocol/pack.py:pack_callsign_28).
-_CQ_PREFIX_BITS = np.zeros(29, np.float32)
-_CQ_PREFIX_BITS[26] = 1.0
-_CQ_PREFIX_SIGN = jnp.asarray(2.0 * _CQ_PREFIX_BITS - 1.0)   # ±1
-
-
 def ap_prefix_for_call(call: str) -> np.ndarray | None:
-    """29-bit ±1 prefix (c28a + ipa=0) hypothesizing a message addressed
-    TO `call` — the operator's own callsign in the daemon. None if the
-    call doesn't pack as a standard c28."""
-    from .protocol.pack import PackError, pack_callsign_28
-    from .protocol.text import NTOKENS, MAX22
-
-    try:
-        n28 = pack_callsign_28(call)
-    except PackError:
-        return None
-    if n28 < NTOKENS + MAX22:
-        return None                   # token or hashed — no fixed prefix
-    bits = np.array([(n28 >> (27 - i)) & 1 for i in range(28)] + [0],
-                    np.float32)
-    return 2.0 * bits - 1.0
+    """(77,) ±1/0 clamp row hypothesizing a message addressed TO `call`
+    (the operator's own callsign in the daemon); None if the call has no
+    fixed c28 bits. Thin wrapper over ops/ap.py (the AP module)."""
+    from .ops.ap import clamp_row_to_call
+    return clamp_row_to_call(call)
 
 
 @functools.partial(jax.jit,
@@ -121,7 +104,8 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
                          ap_cq: bool = False,
                          budget: int | None = None,
                          osd_cands: int = 0,
-                         ap_prefix_signs: jax.Array | None = None):
+                         ap_clamp_signs: jax.Array | None = None,
+                         ap_cw_signs: jax.Array | None = None):
     """Device-side decode graph (float32 I/Q, no complex dtypes on device —
     mirrors the reference's `ft8_subsystem(iSamples, qSamples, ...)` API,
     rtlsdr_ft8d.c:1387).
@@ -186,29 +170,75 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
     hard, errors = run_bp(llrs)
     ok = (errors == 0) & crc_check(hard) & (cand["score"] >= K_MIN_SCORE)
 
-    # A-priori passes (WSJT-X-style): clamp the 29 known prefix bits
-    # (c28a + ipa) of a hypothesized message form to high-confidence
-    # values and re-run BP; accept only where the full CRC-14 still
-    # passes. Hypotheses: the universal "CQ ..." prefix (ap_cq) plus any
-    # caller-supplied prefixes — e.g. the operator's own callsign, which
-    # recovers replies addressed TO this station ~1 dB deeper. (llrs is
-    # either the full (B, K, 174) tensor or the budgeted (budget, 174)
-    # selection; the clamp and BP runner handle both shapes.)
+    # A-priori clamp passes (WSJT-X-style AP ladder, half 1 — see
+    # ops/ap.py): clamp the known payload bits of an open-ended
+    # hypothesized message form (0 in the row = free bit) to
+    # high-confidence values and re-run BP; accept only where the full
+    # CRC-14 still passes. Hypotheses: the universal "CQ ..." prefix
+    # (ap_cq) plus caller-supplied rows — e.g. the operator's own
+    # callsign, which recovers replies addressed TO this station ~1 dB
+    # deeper. (llrs is either the full (B, K, 174) tensor or the
+    # budgeted (budget, 174) selection; the clamp and BP runner handle
+    # both shapes.)
+    from .ops.ap import AP_CLAMP_MAG, AP_CW_THRESH, clamp_row_cq
     ap_rows = []
     if ap_cq:
-        ap_rows.append(_CQ_PREFIX_SIGN)
-    if ap_prefix_signs is not None:
-        for h in range(ap_prefix_signs.shape[0]):      # static shape
-            ap_rows.append(ap_prefix_signs[h])
+        ap_rows.append(jnp.asarray(clamp_row_cq()))
+    if ap_clamp_signs is not None:
+        for h in range(ap_clamp_signs.shape[0]):       # static shape
+            ap_rows.append(ap_clamp_signs[h])
     for signs in ap_rows:
-        ap_mag = jnp.float32(4.9)    # ~sqrt(24), the normalized LLR sigma
-        llrs_ap = llrs.at[..., :29].set(signs * ap_mag)
+        mask = signs != 0.0
+        clamp = signs * jnp.float32(AP_CLAMP_MAG)
+        llrs_ap = llrs.at[..., :77].set(
+            jnp.where(mask, clamp, llrs[..., :77]))
         hard_ap, errors_ap = run_bp(llrs_ap)
         ok_ap = (errors_ap == 0) & crc_check(hard_ap) \
             & (cand["score"] >= K_MIN_SCORE) & ~ok
         hard = jnp.where(ok_ap[..., None], hard_ap, hard)
         errors = jnp.where(ok_ap, 0, errors)
         ok = ok | ok_ap
+
+    # AP ladder half 2 — enumeration bank (ops/ap.py): every closed
+    # hypothesis (QSO continuations) is a complete codeword; ONE matmul
+    # scores all candidates against all hypotheses on the MXU, and a
+    # candidate is accepted through the laddered correlation gate
+    # (corr > AP_CW_THRESH, or corr > AP_CW_THRESH_SYNCED with real
+    # sync evidence). No BP at all: a batched matched-filter bank.
+    if ap_cw_signs is not None:
+        from .ops.ap import AP_CW_MIN_SCORE, AP_CW_THRESH_SYNCED
+
+        def bank_gate(llrs_in, scores_in):
+            c = jnp.einsum('...j,hj->...h', llrs_in, ap_cw_signs) \
+                / jnp.maximum(jnp.sum(jnp.abs(llrs_in), -1,
+                                      keepdims=True), 1e-9)
+            cmax = jnp.max(c, axis=-1)
+            hit = (cmax > AP_CW_THRESH) \
+                | ((cmax > AP_CW_THRESH_SYNCED)
+                   & (scores_in >= AP_CW_MIN_SCORE))
+            bits = (jnp.take(ap_cw_signs, jnp.argmax(c, axis=-1),
+                             axis=0) > 0).astype(hard.dtype)
+            return hit & (scores_in >= K_MIN_SCORE), bits
+
+        if llrs.ndim == 2:       # budgeted: scatter flat hits back
+            score_f = cand["score"].reshape(-1)[sel]
+            ok_f = ok.reshape(-1)[sel]
+            hit_f, hard_cw = bank_gate(llrs, score_f)
+            acc_f = hit_f & ~ok_f
+            hard_flat = hard.reshape(B * K, -1)
+            hard = hard_flat.at[sel].set(
+                jnp.where(acc_f[:, None], hard_cw, hard_flat[sel])) \
+                .reshape(B, K, -1)
+            errors = errors.reshape(-1).at[sel].set(
+                jnp.where(acc_f, 0, errors.reshape(-1)[sel])) \
+                .reshape(B, K)
+            ok = ok.reshape(-1).at[sel].set(ok_f | acc_f).reshape(B, K)
+        else:
+            hit, hard_cw = bank_gate(llrs, cand["score"])
+            acc = hit & ~ok
+            hard = jnp.where(acc[..., None], hard_cw, hard)
+            errors = jnp.where(acc, 0, errors)
+            ok = ok | acc
 
     if osd_cands > 0:
         # Deep-decode retry for the best BP-failed candidates: re-derive
@@ -236,6 +266,28 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
                                           return_posterior=True)
         was_failed = failed.reshape(-1)[sel_f]
         ok_r = (err_r == 0) & crc_check(hard_r) & was_failed
+        if ap_cw_signs is not None:
+            # deepest rung of the AP ladder: the enumeration bank scored
+            # against the REFINED (matched-filter) LLRs of the best
+            # failures — these are the sharpest statistics the pipeline
+            # has, so continuation hypotheses decode furthest here
+            # (same laddered gate; refined noise null is LOWER than raw)
+            from .ops.ap import AP_CW_MIN_SCORE, AP_CW_THRESH_SYNCED
+            score_sel = cand["score"].reshape(-1)[sel_f]
+            corr_r = jnp.einsum('nj,hj->nh', llr_ref, ap_cw_signs) \
+                / jnp.maximum(jnp.sum(jnp.abs(llr_ref), -1,
+                                      keepdims=True), 1e-9)
+            cmax_r = jnp.max(corr_r, axis=-1)
+            best_r = jnp.argmax(corr_r, axis=-1)
+            hit_r = (cmax_r > AP_CW_THRESH) \
+                | ((cmax_r > AP_CW_THRESH_SYNCED)
+                   & (score_sel >= AP_CW_MIN_SCORE))
+            ok_cw_r = hit_r & was_failed & ~ok_r
+            hard_r = jnp.where(
+                ok_cw_r[:, None],
+                (jnp.take(ap_cw_signs, best_r, axis=0) > 0)
+                .astype(hard_r.dtype), hard_r)
+            ok_r = ok_r | ok_cw_r
         hard_flat = hard.reshape(B * K, -1)
         hard = hard_flat.at[sel_f].set(
             jnp.where(ok_r[:, None], hard_r, hard_flat[sel_f])) \
@@ -305,7 +357,7 @@ def compact_survivors(wf, cand, hard, errors, ok):
 
 def _decode_pass(i_s, q_s, hashes, num_candidates, ldpc_iters,
                  ap_cq=False, budget=None, osd_cands=0,
-                 ap_prefix_signs=None):
+                 ap_clamp_signs=None, ap_cw_signs=None):
     """One device pass + host unpack. Returns (per-channel decode lists,
     per-channel subtraction params, raw out dict).
 
@@ -314,7 +366,7 @@ def _decode_pass(i_s, q_s, hashes, num_candidates, ldpc_iters,
     its own hashed-callsign context)."""
     out = jax.device_get(decode_window_device(
         jnp.asarray(i_s), jnp.asarray(q_s), num_candidates, ldpc_iters,
-        ap_cq, budget, osd_cands, ap_prefix_signs))
+        ap_cq, budget, osd_cands, ap_clamp_signs, ap_cw_signs))
     results, sub_params = unpack_survivors(out, i_s.shape[0], hashes)
     if osd_cands > 0:
         out["n_osd_recovered"] = _merge_osd_decodes(out, results,
@@ -443,14 +495,18 @@ def decode_window(iq, hashes: CallsignHashTable | None = None,
                   ap_cq: bool = False,
                   budget: int | None = None,
                   osd_cands: int = 0,
-                  ap_call: str | None = None):
+                  ap_call: str | None = None,
+                  ap_texts=None):
     """Decode a batch of channels; returns list (per channel) of Decode lists.
 
     `iq` may be (48000,) or (B, 48000), complex or a (i, q) tuple of float32.
     `hashes`: one CallsignHashTable or a per-channel list (multi-band).
     `passes`: multipass subtraction decoding (WSJT-X-style).
-    `ap_cq` / `ap_call`: a-priori prefix hypotheses (universal CQ and/or
-      the operator's own callsign).
+    `ap_cq` / `ap_call`: a-priori clamp hypotheses (universal CQ and/or
+      the operator's own callsign — ops/ap.py).
+    `ap_texts`: complete hypothesized message texts (QSO continuations)
+      scored as a codeword enumeration bank on the MXU; may also be a
+      prebuilt (H, 174) ±1/0 sign array (QsoTracker.codeword_signs).
     `budget`: global candidate budget — LDPC + LLR extraction only for
       the N best-scoring candidates across the whole batch.
     `osd_cands`: per-channel quota for the deep-decode retry (matched-
@@ -469,15 +525,31 @@ def decode_window(iq, hashes: CallsignHashTable | None = None,
     else:
         squeeze = False
 
-    ap_prefix_signs = None
+    ap_clamp_signs = None
     if ap_call:
         row = ap_prefix_for_call(ap_call)
         if row is not None:
-            ap_prefix_signs = jnp.asarray(row[None, :])
+            ap_clamp_signs = jnp.asarray(row[None, :])
+    ap_cw_signs = None
+    if ap_texts is not None:
+        if isinstance(ap_texts, np.ndarray):
+            ap_cw_signs = jnp.asarray(ap_texts)
+        else:
+            from .ops.ap import codeword_signs
+            # pad to a power-of-two bucket (>=64) so the jitted graph's
+            # shape — and the TPU compile cache — stays stable as the
+            # hypothesis set evolves window to window
+            bank = codeword_signs(ap_texts)
+            if bank is not None:
+                h = 64
+                while h < bank.shape[0]:
+                    h *= 2
+                bank = codeword_signs(ap_texts, h_pad=h)
+                ap_cw_signs = jnp.asarray(bank)
     results, sub_params, out = _decode_pass(i_s, q_s, hashes,
                                             num_candidates, ldpc_iters,
                                             ap_cq, budget, osd_cands,
-                                            ap_prefix_signs)
+                                            ap_clamp_signs, ap_cw_signs)
 
     # Multi-pass: subtract every decoded signal and decode the residual
     # (WSJT-X-style; neither the reference nor ft8_lib has this).
@@ -508,7 +580,7 @@ def decode_window(iq, hashes: CallsignHashTable | None = None,
         res2, sub_params, _ = _decode_pass(i_s, q_s, hashes,
                                            num_candidates, ldpc_iters,
                                            ap_cq, budget, osd_cands,
-                                           ap_prefix_signs)
+                                           ap_clamp_signs, ap_cw_signs)
         for b in range(B):
             known = {d.text for d in results[b]}
             new = [d for d in res2[b] if d.text not in known]

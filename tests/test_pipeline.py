@@ -196,11 +196,13 @@ def test_mycall_ap_recovers_addressed_replies():
     from rtlsdr_ft8d_tpu.pipeline import ap_prefix_for_call, decode_window
     from rtlsdr_ft8d_tpu.protocol.pack import pack77
 
-    # the prefix must equal the real packed bits of an addressed message
+    # the clamp row's known bits must equal the real packed bits of an
+    # addressed message; everything past the 29-bit prefix is free (0)
     bits = pack77("VA2GKA W9XYZ R-17").astype(np.float32)
     row = ap_prefix_for_call("VA2GKA")
-    assert row is not None
-    assert np.array_equal((row > 0).astype(np.float32), bits[:29])
+    assert row is not None and row.shape == (77,)
+    assert np.array_equal((row[:29] > 0).astype(np.float32), bits[:29])
+    assert np.all(row[29:] == 0)
     # nonstandard calls have no fixed c28 prefix
     assert ap_prefix_for_call("PJ4/K1ABC") is None
 
