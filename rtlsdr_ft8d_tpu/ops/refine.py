@@ -80,8 +80,6 @@ def refine_llrs_flat(i_samples: jax.Array, q_samples: jax.Array,
     N = ts.shape[0]
     NDT, NDF = len(_DT_GRID), len(_DF_GRID)
     n_in = i_samples.shape[-1]
-    flat_i = i_samples.reshape(-1)
-    flat_q = q_samples.reshape(-1)
 
     # start sample of symbol 0 for each (cand, dt). The +256 bias: the
     # waterfall's 1024-pt sine window is centered half a block after the
@@ -90,15 +88,32 @@ def refine_llrs_flat(i_samples: jax.Array, q_samples: jax.Array,
     s0 = (to * 2 + ts) * (BLOCK_SIZE // 2) + BLOCK_SIZE // 2    # (N,)
     s0 = s0[:, None] + jnp.asarray(_DT_GRID)[None, :]           # (N, DT)
 
-    # gather the contiguous 79-symbol span per (cand, dt); out-of-range
-    # samples clamp to the edge and are masked per symbol below
-    idx = s0[..., None] + jnp.arange(_WINDOW_SAMPLES)[None, None, :]
-    idx_c = jnp.clip(idx, 0, n_in - 1) \
-        + (chan_idx[:, None, None] * n_in)
-    xi = jnp.take(flat_i, idx_c.reshape(-1), axis=0) \
-        .reshape(N, NDT, FT8_NN, BLOCK_SIZE)
-    xq = jnp.take(flat_q, idx_c.reshape(-1), axis=0) \
-        .reshape(N, NDT, FT8_NN, BLOCK_SIZE)
+    # Every window start is a multiple of 128 samples (to*512 + ts*256 +
+    # 256 +- 128), so the sample fetch is a LANE-ALIGNED ROW GATHER of
+    # 128-sample frames — a per-sample jnp.take of the same span measured
+    # ~1.9 s on v5e for N=512 (124M scalar gathers); frames bring the
+    # whole refine stage to a few ms. The three dt variants are +0/+1/+2
+    # frame shifts of ONE gathered span per candidate.
+    FRAME = BLOCK_SIZE // 4                                     # 128
+    n_frames = n_in // FRAME
+    span_frames = _WINDOW_SAMPLES // FRAME + NDT - 1            # 318
+    f0 = to * 4 + ts * 2 + 1              # frame of s0 at dt = -128
+    fidx = f0[:, None] + jnp.arange(span_frames)[None, :]       # (N, 318)
+    fidx_c = jnp.clip(fidx, 0, n_frames - 1) \
+        + chan_idx[:, None] * n_frames
+    frames_i = i_samples.reshape(-1, FRAME)                     # (B*375, 128)
+    frames_q = q_samples.reshape(-1, FRAME)
+    span_i = jnp.take(frames_i, fidx_c.reshape(-1), axis=0) \
+        .reshape(N, span_frames, FRAME)
+    span_q = jnp.take(frames_q, fidx_c.reshape(-1), axis=0) \
+        .reshape(N, span_frames, FRAME)
+    win_frames = _WINDOW_SAMPLES // FRAME                       # 316
+    xi = jnp.stack([span_i[:, k:k + win_frames]
+                    .reshape(N, FT8_NN, BLOCK_SIZE)
+                    for k in range(NDT)], axis=1)
+    xq = jnp.stack([span_q[:, k:k + win_frames]
+                    .reshape(N, FT8_NN, BLOCK_SIZE)
+                    for k in range(NDT)], axis=1)
 
     # downshift by the candidate's center frequency (local per-symbol
     # phase; noncoherent per-symbol energies don't need cross-symbol
