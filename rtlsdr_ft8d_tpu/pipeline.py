@@ -97,7 +97,7 @@ def ap_prefix_for_call(call: str) -> np.ndarray | None:
 
 @functools.partial(jax.jit,
                    static_argnames=("num_candidates", "ldpc_iters", "ap_cq",
-                                    "budget", "osd_cands"))
+                                    "budget", "osd_cands", "sync_exact"))
 def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
                          num_candidates: int = K_MAX_CANDIDATES,
                          ldpc_iters: int = K_LDPC_ITERS,
@@ -105,7 +105,8 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
                          budget: int | None = None,
                          osd_cands: int = 0,
                          ap_clamp_signs: jax.Array | None = None,
-                         ap_cw_signs: jax.Array | None = None):
+                         ap_cw_signs: jax.Array | None = None,
+                         sync_exact: bool = False):
     """Device-side decode graph (float32 I/Q, no complex dtypes on device —
     mirrors the reference's `ft8_subsystem(iSamples, qSamples, ...)` API,
     rtlsdr_ft8d.c:1387).
@@ -132,7 +133,11 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
     # (B=256: 327 s fused vs 78 s for the stages separately).
     wf = waterfall(i_samples, q_samples)
     wf = jax.lax.optimization_barrier(wf)
-    cand = find_sync(wf, num_candidates)
+    # sync_exact=True replaces the two-stage chunked top-K with a full
+    # sort of all 35,856 cells (exactness escape hatch for pathologically
+    # dense bands — see PERF.md "Two-stage top-K" for the measured miss
+    # behavior; the chunked default is exact up to 4 co-chunk signals).
+    cand = find_sync(wf, num_candidates, exact=sync_exact)
     cand = jax.lax.optimization_barrier(cand)
     B, K = cand["score"].shape
 
@@ -357,7 +362,7 @@ def compact_survivors(wf, cand, hard, errors, ok):
 
 def _decode_pass(i_s, q_s, hashes, num_candidates, ldpc_iters,
                  ap_cq=False, budget=None, osd_cands=0,
-                 ap_clamp_signs=None, ap_cw_signs=None):
+                 ap_clamp_signs=None, ap_cw_signs=None, sync_exact=False):
     """One device pass + host unpack. Returns (per-channel decode lists,
     per-channel subtraction params, raw out dict).
 
@@ -366,7 +371,8 @@ def _decode_pass(i_s, q_s, hashes, num_candidates, ldpc_iters,
     its own hashed-callsign context)."""
     out = jax.device_get(decode_window_device(
         jnp.asarray(i_s), jnp.asarray(q_s), num_candidates, ldpc_iters,
-        ap_cq, budget, osd_cands, ap_clamp_signs, ap_cw_signs))
+        ap_cq, budget, osd_cands, ap_clamp_signs, ap_cw_signs,
+        sync_exact))
     results, sub_params = unpack_survivors(out, i_s.shape[0], hashes)
     if osd_cands > 0:
         out["n_osd_recovered"] = _merge_osd_decodes(out, results,
@@ -496,7 +502,8 @@ def decode_window(iq, hashes: CallsignHashTable | None = None,
                   budget: int | None = None,
                   osd_cands: int = 0,
                   ap_call: str | None = None,
-                  ap_texts=None):
+                  ap_texts=None,
+                  sync_exact: bool = False):
     """Decode a batch of channels; returns list (per channel) of Decode lists.
 
     `iq` may be (48000,) or (B, 48000), complex or a (i, q) tuple of float32.
@@ -549,7 +556,8 @@ def decode_window(iq, hashes: CallsignHashTable | None = None,
     results, sub_params, out = _decode_pass(i_s, q_s, hashes,
                                             num_candidates, ldpc_iters,
                                             ap_cq, budget, osd_cands,
-                                            ap_clamp_signs, ap_cw_signs)
+                                            ap_clamp_signs, ap_cw_signs,
+                                            sync_exact)
 
     # Multi-pass: subtract every decoded signal and decode the residual
     # (WSJT-X-style; neither the reference nor ft8_lib has this).
@@ -580,7 +588,8 @@ def decode_window(iq, hashes: CallsignHashTable | None = None,
         res2, sub_params, _ = _decode_pass(i_s, q_s, hashes,
                                            num_candidates, ldpc_iters,
                                            ap_cq, budget, osd_cands,
-                                           ap_clamp_signs, ap_cw_signs)
+                                           ap_clamp_signs, ap_cw_signs,
+                                           sync_exact)
         for b in range(B):
             known = {d.text for d in results[b]}
             new = [d for d in res2[b] if d.text not in known]
