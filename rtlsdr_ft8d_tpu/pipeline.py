@@ -271,6 +271,20 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
                                           return_posterior=True)
         was_failed = failed.reshape(-1)[sel_f]
         ok_r = (err_r == 0) & crc_check(hard_r) & was_failed
+        # AP clamp rungs on the REFINED LLRs: the matched-filter
+        # statistics are ~1 dB sharper than the quantized waterfall's, so
+        # the same CQ/MyCall hypotheses decode deepest here (the ladder's
+        # counterpart of WSJT-X's AP passes inside its subtraction loop).
+        # CRC-14 over the full payload still gates every acceptance.
+        for signs in ap_rows:
+            mask_c = signs != 0.0
+            clamp_c = signs * jnp.float32(AP_CLAMP_MAG)
+            llr_c = llr_ref.at[..., :77].set(
+                jnp.where(mask_c, clamp_c, llr_ref[..., :77]))
+            hard_c, err_c = bp_decode(llr_c, ldpc_iters)
+            ok_c = (err_c == 0) & crc_check(hard_c) & was_failed & ~ok_r
+            hard_r = jnp.where(ok_c[:, None], hard_c, hard_r)
+            ok_r = ok_r | ok_c
         if ap_cw_signs is not None:
             # deepest rung of the AP ladder: the enumeration bank scored
             # against the REFINED (matched-filter) LLRs of the best
