@@ -1,0 +1,111 @@
+"""Pair-coherent LLR extraction (ops/refine.py:_pair_coherent_llrs).
+
+FT8's tone spacing x symbol time = exactly one cycle, so per-symbol
+matched-filter outputs are phase-continuous across symbols up to the
+residual CFO, whose per-symbol rotation the 18 consecutive Costas pairs
+estimate. Coherently summing adjacent data symbols buys ~1 dB at the
+decode threshold — the multi-symbol combining WSJT-X uses for its
+deepest passes (VERDICT r2 named its absence as a sensitivity gap).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtlsdr_ft8d_tpu.host.synth import synthesize_message
+from rtlsdr_ft8d_tpu.ops.ldpc import bp_decode, crc_check
+from rtlsdr_ft8d_tpu.ops.refine import refine_llrs_flat
+from rtlsdr_ft8d_tpu.ops.sync import find_sync
+from rtlsdr_ft8d_tpu.ops.waterfall import waterfall
+from rtlsdr_ft8d_tpu.pipeline import decode_window
+from rtlsdr_ft8d_tpu.protocol.unpack import unpack77
+
+MSG = "K1ABC W9XYZ EN37"
+
+
+def _sigma(snr_db, amp=0.5):
+    return np.sqrt(amp ** 2 / (2 * 10 ** (snr_db / 10) * (2500 / 3200)))
+
+
+def _llrs_for(iq_batch):
+    i_s = np.real(iq_batch).astype(np.float32)
+    q_s = np.imag(iq_batch).astype(np.float32)
+    peak = np.maximum(np.abs(i_s).max(-1, keepdims=True),
+                      np.abs(q_s).max(-1, keepdims=True))
+    i_n, q_n = i_s * (0.5 / peak), q_s * (0.5 / peak)
+    wf = waterfall(jnp.asarray(i_n), jnp.asarray(q_n))
+    cand = find_sync(wf, 120)
+    best = {k: cand[k][:, 0] for k in
+            ("time_sub", "freq_sub", "time_offset", "freq_offset")}
+    chan = jnp.arange(iq_batch.shape[0], dtype=jnp.int32)
+    f = jax.jit(functools.partial(refine_llrs_flat, return_pair=True))
+    return f(jnp.asarray(i_n), jnp.asarray(q_n), best, chan)
+
+
+def _decode_count(llrs):
+    hard, err = bp_decode(llrs, 20)
+    ok = np.asarray((err == 0) & crc_check(hard))
+    n = 0
+    for t in range(ok.shape[0]):
+        if ok[t]:
+            try:
+                if unpack77(np.asarray(hard[t][:77]).astype(np.uint8)) \
+                        == MSG:
+                    n += 1
+            except Exception:
+                pass
+    return n
+
+
+def test_pair_coherent_decodes_deeper():
+    """At -20 dB (below the noncoherent refined threshold) the
+    pair-coherent LLRs must decode strictly more channels."""
+    T = 24
+    chans = [synthesize_message(
+        MSG, f0_hz=250 + 40 * t + 6.25 * ((t % 5) / 5),
+        noise_sigma=_sigma(-20.0),
+        rng=np.random.default_rng(hash((-20.0, t, 7)) % (1 << 31)))
+        for t in range(T)]
+    llr_n, _score, llr_p = _llrs_for(np.stack(chans))
+    n_noncoh = _decode_count(llr_n)
+    n_pair = _decode_count(llr_p)
+    assert n_pair > n_noncoh, (n_pair, n_noncoh)
+    assert n_pair >= T // 2, n_pair
+
+
+def test_pair_coherent_agrees_at_high_snr():
+    """Strong signals: both LLR flavors decode every channel."""
+    T = 8
+    chans = [synthesize_message(
+        MSG, f0_hz=300 + 100 * t, noise_sigma=_sigma(-12.0),
+        rng=np.random.default_rng(t)) for t in range(T)]
+    llr_n, _score, llr_p = _llrs_for(np.stack(chans))
+    assert _decode_count(llr_n) == T
+    assert _decode_count(llr_p) == T
+    assert bool(np.isfinite(np.asarray(llr_p)).all())
+
+
+def test_pipeline_osd_uses_pair_rung():
+    """decode_window --osd decodes a -20.5 dB signal the noncoherent
+    stack misses (the pair rung inside the osd_cands block)."""
+    T = 16
+    chans = [synthesize_message(
+        MSG, f0_hz=250 + 60 * t + 6.25 * ((t % 4) / 4),
+        noise_sigma=_sigma(-20.5),
+        rng=np.random.default_rng(hash((-20.5, t, 3)) % (1 << 31)))
+        for t in range(T)]
+    res = decode_window(np.stack(chans), osd_cands=8)
+    n = sum(1 for decs in res if MSG in {d.text for d in decs})
+    assert n >= 3, n
+
+
+def test_pair_coherent_pure_noise_zero():
+    """Noise through BP+CRC on pair-coherent LLRs: no decodes."""
+    rng = np.random.default_rng(77)
+    noise = (rng.normal(0, 1.0, (64, 48000))
+             + 1j * rng.normal(0, 1.0, (64, 48000))).astype(np.complex64)
+    llr_n, _score, llr_p = _llrs_for(noise)
+    assert _decode_count(llr_p) == 0
+    assert _decode_count(llr_n) == 0
