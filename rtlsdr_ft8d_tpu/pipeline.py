@@ -304,20 +304,26 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
             # (same laddered gate; refined noise null is LOWER than raw)
             from .ops.ap import AP_CW_MIN_SCORE, AP_CW_THRESH_SYNCED
             score_sel = cand["score"].reshape(-1)[sel_f]
-            corr_r = jnp.einsum('nj,hj->nh', llr_ref, ap_cw_signs) \
-                / jnp.maximum(jnp.sum(jnp.abs(llr_ref), -1,
-                                      keepdims=True), 1e-9)
-            cmax_r = jnp.max(corr_r, axis=-1)
-            best_r = jnp.argmax(corr_r, axis=-1)
-            hit_r = (cmax_r > AP_CW_THRESH) \
-                | ((cmax_r > AP_CW_THRESH_SYNCED)
-                   & (score_sel >= AP_CW_MIN_SCORE))
-            ok_cw_r = hit_r & was_failed & ~ok_r
-            hard_r = jnp.where(
-                ok_cw_r[:, None],
-                (jnp.take(ap_cw_signs, best_r, axis=0) > 0)
-                .astype(hard_r.dtype), hard_r)
-            ok_r = ok_r | ok_cw_r
+            # scored against BOTH refined LLR flavors; the pair-coherent
+            # null is no wider than the noncoherent one (measured max
+            # 0.470 unsynced / 0.372 synced over 4.1M noise trials vs
+            # the gate's 0.58 / 0.50), so the same laddered thresholds
+            # apply.
+            for llr_b in (llr_ref, llr_pair):
+                corr_r = jnp.einsum('nj,hj->nh', llr_b, ap_cw_signs) \
+                    / jnp.maximum(jnp.sum(jnp.abs(llr_b), -1,
+                                          keepdims=True), 1e-9)
+                cmax_r = jnp.max(corr_r, axis=-1)
+                best_r = jnp.argmax(corr_r, axis=-1)
+                hit_r = (cmax_r > AP_CW_THRESH) \
+                    | ((cmax_r > AP_CW_THRESH_SYNCED)
+                       & (score_sel >= AP_CW_MIN_SCORE))
+                ok_cw_r = hit_r & was_failed & ~ok_r
+                hard_r = jnp.where(
+                    ok_cw_r[:, None],
+                    (jnp.take(ap_cw_signs, best_r, axis=0) > 0)
+                    .astype(hard_r.dtype), hard_r)
+                ok_r = ok_r | ok_cw_r
         hard_flat = hard.reshape(B * K, -1)
         hard = hard_flat.at[sel_f].set(
             jnp.where(ok_r[:, None], hard_r, hard_flat[sel_f])) \
