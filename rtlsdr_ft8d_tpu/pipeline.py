@@ -267,15 +267,17 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
                     ("time_sub", "freq_sub", "time_offset", "freq_offset")}
         llr_ref, _ref_score, llr_pair = refine_llrs_flat(
             i_samples, q_samples, cand_sel, chan_f, return_pair=True)
-        hard_r, err_r, post_r = bp_decode(llr_ref, ldpc_iters,
-                                          return_posterior=True)
+        hard_r, err_r = bp_decode(llr_ref, ldpc_iters)
         was_failed = failed.reshape(-1)[sel_f]
         ok_r = (err_r == 0) & crc_check(hard_r) & was_failed
         # Pair-coherent rung: adjacent data symbols combined coherently
         # (ops/refine.py:_pair_coherent_llrs — WSJT-X's multi-symbol
         # combining), ~1 dB sharper than the noncoherent refined LLRs
         # (measured 24/32 vs 10/32 decodes at -20 dB). BP + CRC gate.
-        hard_p, err_p = bp_decode(llr_pair, ldpc_iters)
+        # The host OSD consumes the PAIR posteriors: measured strictly
+        # better (19 vs 4 recoveries at -20.5 dB incl. BP).
+        hard_p, err_p, post_r = bp_decode(llr_pair, ldpc_iters,
+                                          return_posterior=True)
         ok_p = (err_p == 0) & crc_check(hard_p) & was_failed & ~ok_r
         hard_r = jnp.where(ok_p[:, None], hard_p, hard_r)
         ok_r = ok_r | ok_p
