@@ -57,3 +57,25 @@ def test_busy_band_subtraction_recovers_overlapped():
     res3 = {d.text for d in decode_window((i, q), passes=3, osd_cands=8)}
     gained = (res3 & weak) - res1
     assert len(gained) >= 2, (sorted(res1 & weak), sorted(res3 & weak))
+
+
+def test_busy_band_full_stack_decodes_all_18():
+    """With the QSO-continuation bank seeded (as QsoTracker would be
+    after hearing the VA2AAA<->PY2CCC exchange in a previous window),
+    the full stack decodes EVERY signal in the fixture — including the
+    one interference-limited partner the AP-less stack misses — with
+    zero phantoms."""
+    from rtlsdr_ft8d_tpu.host.io import read_iq
+    from rtlsdr_ft8d_tpu.ops.ap import codeword_signs, continuation_texts
+    from rtlsdr_ft8d_tpu.pipeline import decode_window
+
+    i, q = read_iq(os.path.join(FIX, "golden_busy.iq"))
+    rows = _load()
+    all_texts = {t for t, *_ in rows}
+    bank = codeword_signs(continuation_texts("VA2AAA", "PY2CCC")
+                          + continuation_texts("PY2CCC", "VA2AAA"),
+                          h_pad=256)
+    res = decode_window((i, q), passes=3, osd_cands=8, ap_texts=bank)
+    texts = {d.text for d in res}
+    assert texts >= all_texts, sorted(all_texts - texts)
+    assert not texts - all_texts, sorted(texts - all_texts)
