@@ -59,15 +59,62 @@ def main():
                           "error": f"correctness gate failed: {n_ok}/{B}"}))
         return
 
+    # Weak-signal ladder gate (VERDICT r2: the strong-signal gate above
+    # cannot catch a 1-2 dB sensitivity regression): 8 rungs x 8 channels
+    # from -10 to -19 dB SNR (2500 Hz ref), decoded with the production
+    # budget config. Strong rungs (>= -16 dB) must decode fully; the weak
+    # tail (-17/-18/-19) has a floor ~2 dB of margin below the measured
+    # decode count, so a sensitivity regression fails the BENCH, not just
+    # the CPU test suite.
+    LADDER_SNRS = [-10.0, -11.5, -13.0, -14.5, -16.0, -17.0, -18.0, -19.0]
+    PER_RUNG = 8
+
+    def _sigma(snr_db, amp=0.5):
+        # complex AWGN sigma per component for SNR in 2500 Hz at 3200 sps
+        # (same convention as scripts/sensitivity.py::sigma_for_snr)
+        return np.sqrt(amp ** 2
+                       / (2 * 10 ** (snr_db / 10.0) * (2500.0 / 3200.0)))
+
+    lchans, lmsgs = [], []
+    for r, snr in enumerate(LADDER_SNRS):
+        for t in range(PER_RUNG):
+            b = r * PER_RUNG + t
+            m = msgs[b % 4]
+            lchans.append(synthesize_message(
+                m, f0_hz=250 + 16.5 * b, noise_sigma=_sigma(snr),
+                rng=np.random.default_rng(1000 + b)))
+            lmsgs.append(m)
+    lres = decode_window(np.stack(lchans), budget=1024)
+    rung_ok = [sum(1 for t in range(PER_RUNG)
+                   if lmsgs[r * PER_RUNG + t] in
+                   {d.text for d in lres[r * PER_RUNG + t]})
+               for r in range(len(LADDER_SNRS))]
+    ladder_decoded = sum(rung_ok)
+    strong_ok = sum(rung_ok[:5])            # rungs -10..-16
+    weak_ok = sum(rung_ok[5:])              # rungs -17/-18/-19
+    # floors: measured on hardware (strong 40/40, weak 17/24); a 1 dB
+    # regression drops the weak tail below ~11 (per SENSITIVITY.md rates)
+    if strong_ok < 40 or weak_ok < 12:
+        print(json.dumps({"metric": "windows_per_sec_per_chip", "value": 0.0,
+                          "unit": "windows/s",
+                          "error": f"ladder gate failed: strong "
+                                   f"{strong_ok}/40, weak {weak_ok}/24",
+                          "ladder_rungs": dict(zip(map(str, LADDER_SNRS),
+                                                   rung_ok))}))
+        return
+
     # Warm up, then measure pipelined steady-state: dispatch DEPTH windows,
     # force completion once (the per-dispatch relay RTT amortizes away; on
     # real hosts this is the continuous-streaming operating mode).
     out = decode_window_device(i_s, q_s)
     np.asarray(out["n_ok"][0:1])
 
-    DEPTH, REPS = 32, 3
+    DEPTH, REPS = 32, 5
 
     def measure(**kw):
+        """Median-of-REPS windows/s plus relay/run spread (VERDICT r2:
+        min-of-3 let docs quote best-case numbers the driver-captured
+        bench doesn't reproduce)."""
         o = decode_window_device(i_s, q_s, **kw)
         np.asarray(o["n_ok"][0:1])
         times = []
@@ -81,9 +128,11 @@ def main():
             # measure the relay, not the chip)
             np.asarray(outs[-1]["n_ok"][0:1])
             times.append(time.time() - t0)
-        return B * DEPTH / min(times)
+        med = float(np.median(times))
+        spread = 100.0 * (max(times) - min(times)) / med
+        return B * DEPTH / med, round(spread, 1)
 
-    windows_per_sec = measure()
+    windows_per_sec, spread_unb = measure()
 
     # production config: global candidate budget (LDPC only on the 1024
     # best-scoring candidates across the batch) — same decode list on the
@@ -92,7 +141,8 @@ def main():
     res_b = decode_window(batch, budget=BUDGET)
     n_ok_b = sum(1 for b, decs in enumerate(res_b)
                  if msgs[b % 4] in {d.text for d in decs})
-    wps_budget = measure(budget=BUDGET) if n_ok_b == B else 0.0
+    wps_budget, spread_bud = ((0.0, 0.0) if n_ok_b != B
+                              else measure(budget=BUDGET))
 
     headline = max(windows_per_sec, wps_budget)
     result = {
@@ -103,8 +153,12 @@ def main():
         # baseline: i7-5820K, 18 ms/window (reference README.md:157)
         "batch_channels": B,
         "pipeline_depth": DEPTH,
+        "timing": f"median of {REPS} runs",
+        "run_spread_pct": max(spread_unb, spread_bud),
         "correctness": f"{n_ok}/{B} channels decoded "
                        f"({n_ok_b}/{B} budgeted)",
+        "ladder_decoded": f"{ladder_decoded}/{len(lchans)}",
+        "ladder_rungs": dict(zip((str(s) for s in LADDER_SNRS), rung_ok)),
         "windows_per_sec_unbudgeted": round(windows_per_sec, 1),
         "windows_per_sec_budget1024": round(wps_budget, 1),
         "realtime_channels_per_chip": int(headline * 15),
@@ -164,6 +218,33 @@ def main():
     result["busy_e2e_host_ms"] = round(host_t * 1000.0, 1)
     result["busy_e2e_spots"] = n_spots
     result["busy_e2e_realtime_ok"] = bool(busy_s <= 15.0)
+
+    # Same busy band with the DEEP-DECODE production config (--osd 8):
+    # matched-filter refinement + posterior shipping on device, vectorized
+    # OSD reprocessing + merge on host — all inside the measured budget
+    # (VERDICT r2 missing #4: the deep config had no end-to-end number).
+    from rtlsdr_ft8d_tpu.pipeline import _merge_osd_decodes
+    OSD_CANDS = 8
+    o = decode_window_device(bi, bq, osd_cands=OSD_CANDS)   # warm/compile
+    np.asarray(o["n_ok"][0:1])
+    t0 = time.time()
+    outs = [decode_window_device(bi, bq, osd_cands=OSD_CANDS)
+            for _ in range(LAUNCHES)]
+    osd_host_t = 0.0
+    n_spots_osd = n_osd_rec = 0
+    for o in outs:
+        o = jax.device_get(o)
+        h0 = time.time()
+        res, sub = unpack_survivors(o, B, hashes)
+        n_osd_rec += _merge_osd_decodes(o, res, sub, hashes)
+        osd_host_t += time.time() - h0
+        n_spots_osd += sum(len(r) for r in res)
+    busy_osd_s = time.time() - t0
+    result["busy_e2e_osd_wall_s"] = round(busy_osd_s, 2)
+    result["busy_e2e_osd_host_ms"] = round(osd_host_t * 1000.0, 1)
+    result["busy_e2e_osd_spots"] = n_spots_osd
+    result["busy_e2e_osd_recovered"] = n_osd_rec
+    result["busy_e2e_osd_realtime_ok"] = bool(busy_osd_s <= 15.0)
 
     # BENCH_WIDEBAND=1: the flagship full-band config — ALL 1500 channels
     # of one 2.4 MHz capture as a single budgeted batch (compile ~107 s
