@@ -39,22 +39,40 @@ def make_grid_mesh(hosts: int, chips: int) -> Mesh:
 def decode_window_dense(i_samples, q_samples, mesh: Mesh,
                         global_budget: int,
                         num_candidates: int = K_MAX_CANDIDATES,
-                        ldpc_iters: int = K_LDPC_ITERS):
+                        ldpc_iters: int = K_LDPC_ITERS,
+                        osd_cands_global: int = 0,
+                        ap_clamp_signs=None,
+                        ap_cw_signs=None):
     """Decode channels sharded over the mesh with a GLOBAL candidate budget.
 
     Args:
       i_samples, q_samples: (B, 48000) float32, B divisible by mesh size.
       global_budget: total candidates across all channels that get LDPC
         iterations this window (the rest are masked out).
+      osd_cands_global: total deep-decode retries across the mesh (split
+        evenly per shard — each shard refines its own best BP failures
+        from its LOCAL raw samples, so no sample tensors ever cross the
+        interconnect; only the compacted survivors and the ≤osd posterior
+        rows do).
+      ap_clamp_signs / ap_cw_signs: the AP hypothesis ladder (ops/ap.py)
+        — clamp rows and the continuation codeword bank, identical
+        semantics to the single-chip graph (pipeline.py). Hypothesis
+        tensors are replicated (a few KB).
 
     Returns the compacted per-channel dict of decode_window_device
     (survivors bit-packed on device — at pod scale the host must never see
     the full (B, K, 91) candidate tensors) plus 'n_selected' (B,) int32 —
-    how many of each channel's candidates made the global cut.
+    how many of each channel's candidates made the global cut, and the
+    osd_* posterior fields (global channel indices) when
+    osd_cands_global > 0 — unpack with pipeline.unpack_survivors +
+    pipeline._merge_osd_decodes exactly like the single-chip output.
     """
+    from ..ops.ap import AP_CLAMP_MAG
     from ..pipeline import compact_survivors
 
     axes = tuple(mesh.axis_names)
+    n_shards = int(np.prod([mesh.shape[a] for a in axes]))
+    n_osd_loc = max(osd_cands_global // n_shards, 0)
 
     def local(i_loc, q_loc):
         wf = waterfall(i_loc, q_loc)
@@ -76,8 +94,130 @@ def decode_window_dense(i_samples, q_samples, mesh: Mesh,
         hard, errors = bp_decode(llrs, ldpc_iters)
         errors = jnp.where(selected, errors, 83)
         ok = (errors == 0) & crc_check(hard) & selected
+
+        def merge(ok_new, hard_new, ok0, hard0, err0):
+            acc = ok_new & ~ok0
+            return (ok0 | acc,
+                    jnp.where(acc[..., None], hard_new, hard0),
+                    jnp.where(acc, 0, err0))
+
+        # AP clamp rows on the budget-selected LLRs (pipeline.py
+        # semantics: re-run BP with the hypothesis bits pinned)
+        if ap_clamp_signs is not None:
+            for h in range(ap_clamp_signs.shape[0]):
+                signs = ap_clamp_signs[h]
+                mask = signs != 0.0
+                clamp = signs * jnp.float32(AP_CLAMP_MAG)
+                llrs_ap = llrs.at[..., :77].set(
+                    jnp.where(mask, clamp, llrs[..., :77]))
+                hard_a, err_a = bp_decode(llrs_ap, ldpc_iters)
+                ok_a = (err_a == 0) & crc_check(hard_a) & selected
+                ok, hard, errors = merge(ok_a, hard_a, ok, hard, errors)
+
+        # Enumeration bank on the selected LLRs (laddered gate)
+        if ap_cw_signs is not None:
+            from ..ops.ap import (AP_CW_MIN_SCORE, AP_CW_THRESH,
+                                  AP_CW_THRESH_SYNCED)
+            c = jnp.einsum('bkj,hj->bkh', llrs, ap_cw_signs) \
+                / jnp.maximum(jnp.sum(jnp.abs(llrs), -1,
+                                      keepdims=True), 1e-9)
+            cmax = jnp.max(c, axis=-1)
+            hit = ((cmax > AP_CW_THRESH)
+                   | ((cmax > AP_CW_THRESH_SYNCED)
+                      & (scores >= AP_CW_MIN_SCORE))) \
+                & (scores >= K_MIN_SCORE) & selected
+            bits = (jnp.take(ap_cw_signs, jnp.argmax(c, axis=-1),
+                             axis=0) > 0).astype(hard.dtype)
+            ok, hard, errors = merge(hit, bits, ok, hard, errors)
+
+        out_extra = {}
+        if n_osd_loc > 0:
+            # deep-decode retry per shard: refine the LOCAL best BP
+            # failures from the LOCAL raw samples (pipeline.py osd block
+            # restructured per shard; chan indices globalized below)
+            from ..ops.llr import estimate_snr_flat
+            from ..ops.refine import refine_llrs_flat
+
+            b_loc, K = scores.shape
+            failed = (errors > 0) & (scores >= K_MIN_SCORE) & selected
+            flat_rank = jnp.where(failed, scores, -1).reshape(-1)
+            _, sel_f = jax.lax.top_k(flat_rank, min(n_osd_loc, b_loc * K))
+            chan_f = sel_f // K
+            cand_sel = {kk: cand[kk].reshape(-1)[sel_f] for kk in
+                        ("time_sub", "freq_sub", "time_offset",
+                         "freq_offset")}
+            llr_ref, _s, llr_pair = refine_llrs_flat(
+                i_loc, q_loc, cand_sel, chan_f, return_pair=True)
+            hard_r, err_r = bp_decode(llr_ref, ldpc_iters)
+            was_failed = failed.reshape(-1)[sel_f]
+            ok_r = (err_r == 0) & crc_check(hard_r) & was_failed
+            hard_p, err_p, post_p = bp_decode(llr_pair, ldpc_iters,
+                                              return_posterior=True)
+            ok_p = (err_p == 0) & crc_check(hard_p) & was_failed & ~ok_r
+            hard_r = jnp.where(ok_p[:, None], hard_p, hard_r)
+            ok_r = ok_r | ok_p
+            if ap_clamp_signs is not None:
+                for h in range(ap_clamp_signs.shape[0]):
+                    signs = ap_clamp_signs[h]
+                    mask = signs != 0.0
+                    clamp = signs * jnp.float32(AP_CLAMP_MAG)
+                    for llr_b in (llr_pair, llr_ref):
+                        llr_c = llr_b.at[..., :77].set(
+                            jnp.where(mask, clamp, llr_b[..., :77]))
+                        hard_c, err_c = bp_decode(llr_c, ldpc_iters)
+                        ok_c = (err_c == 0) & crc_check(hard_c) \
+                            & was_failed & ~ok_r
+                        hard_r = jnp.where(ok_c[:, None], hard_c, hard_r)
+                        ok_r = ok_r | ok_c
+            if ap_cw_signs is not None:
+                from ..ops.ap import (AP_CW_MIN_SCORE, AP_CW_THRESH,
+                                      AP_CW_THRESH_SYNCED)
+                score_sel = scores.reshape(-1)[sel_f]
+                for llr_b in (llr_ref, llr_pair):
+                    corr = jnp.einsum('nj,hj->nh', llr_b, ap_cw_signs) \
+                        / jnp.maximum(jnp.sum(jnp.abs(llr_b), -1,
+                                              keepdims=True), 1e-9)
+                    cmax_r = jnp.max(corr, axis=-1)
+                    hit_r = (cmax_r > AP_CW_THRESH) \
+                        | ((cmax_r > AP_CW_THRESH_SYNCED)
+                           & (score_sel >= AP_CW_MIN_SCORE))
+                    ok_cw = hit_r & was_failed & ~ok_r
+                    hard_r = jnp.where(
+                        ok_cw[:, None],
+                        (jnp.take(ap_cw_signs, jnp.argmax(corr, -1),
+                                  axis=0) > 0).astype(hard_r.dtype),
+                        hard_r)
+                    ok_r = ok_r | ok_cw
+            hard_flat = hard.reshape(b_loc * K, -1)
+            hard = hard_flat.at[sel_f].set(
+                jnp.where(ok_r[:, None], hard_r, hard_flat[sel_f])) \
+                .reshape(b_loc, K, -1)
+            errors = errors.reshape(-1).at[sel_f].set(
+                jnp.where(ok_r, 0, errors.reshape(-1)[sel_f])) \
+                .reshape(b_loc, K)
+            ok = ok.reshape(-1).at[sel_f].set(
+                ok.reshape(-1)[sel_f] | ok_r).reshape(b_loc, K)
+            # globalize channel indices: shard offset along the mesh
+            shard = jnp.int32(0)
+            for ax in axes:
+                shard = shard * mesh.shape[ax] + jax.lax.axis_index(ax)
+            out_extra = {
+                "osd_post": post_p,
+                "osd_valid": was_failed & ~ok_r,
+                "osd_chan": (chan_f + shard * b_loc).astype(jnp.int32),
+                "osd_score": scores.reshape(-1)[sel_f].astype(jnp.int32),
+                "osd_snr_db": estimate_snr_flat(wf, cand_sel, chan_f),
+                "osd_time_sub": cand_sel["time_sub"].astype(jnp.uint8),
+                "osd_freq_sub": cand_sel["freq_sub"].astype(jnp.uint8),
+                "osd_time_offset":
+                    cand_sel["time_offset"].astype(jnp.int8),
+                "osd_freq_offset":
+                    cand_sel["freq_offset"].astype(jnp.int32),
+            }
+
         out = compact_survivors(wf, cand, hard, errors, ok)
         out["n_selected"] = jnp.sum(selected.astype(jnp.int32), axis=-1)
+        out.update(out_extra)
         return out
 
     spec = P(axes)   # shard channel axis over all mesh axes

@@ -60,3 +60,59 @@ def test_dense_budget_prioritizes_strong_signals():
     sel = np.asarray(out["n_selected"])
     # nearly all selections concentrate on the strong channel
     assert sel[3] >= sel.sum() * 0.5
+
+
+def test_dense_deep_decode_matches_single_chip():
+    """The sharded dense path with the FULL deep-decode stack (refine +
+    pair-coherent + AP clamps + continuation bank + host OSD merge)
+    recovers the same weak decodes as the single-chip graph, with
+    correctly globalized osd channel indices."""
+    import jax.numpy as jnp
+
+    from rtlsdr_ft8d_tpu.ops.ap import codeword_signs, continuation_texts
+    from rtlsdr_ft8d_tpu.pipeline import (_merge_osd_decodes,
+                                          unpack_survivors)
+
+    def sigma(snr, amp=0.5):
+        return np.sqrt(amp ** 2 / (2 * 10 ** (snr / 10) * (2500 / 3200)))
+
+    mesh = make_grid_mesh(2, 4)
+    msgs = ["CQ K1JT FN20", "K1ABC W9XYZ RR73"]
+    chans = []
+    deep = set()
+    for b in range(16):
+        if b % 5 == 2:                      # a weak continuation channel
+            m, snr = "K1ABC W9XYZ RR73", -21.5
+            deep.add(b)
+        else:
+            m, snr = "CQ K1JT FN20", -12.0
+        chans.append(synthesize_message(
+            m, f0_hz=250 + 60 * b, noise_sigma=sigma(snr),
+            rng=np.random.default_rng(1000 + b)))
+    batch = np.stack(chans)
+    # normalize like the single-chip pipeline's C9 stage (the dense path
+    # takes pre-normalized baseband)
+    i_s = np.real(batch).astype(np.float32)
+    q_s = np.imag(batch).astype(np.float32)
+    peak = np.maximum(np.abs(i_s).max(-1, keepdims=True),
+                      np.abs(q_s).max(-1, keepdims=True))
+    i_s, q_s = i_s * (0.5 / peak), q_s * (0.5 / peak)
+
+    bank = codeword_signs(continuation_texts("K1ABC", "W9XYZ"), h_pad=64)
+    out = decode_window_dense(i_s, q_s, mesh, global_budget=800,
+                              osd_cands_global=64,
+                              ap_cw_signs=jnp.asarray(bank))
+    import jax
+    out = jax.device_get(out)
+    res, sub = unpack_survivors(out, 16)
+    n_rec = _merge_osd_decodes(out, res, sub, None)
+    texts = [{d.text for d in r} for r in res]
+    for b in range(16):
+        want = "K1ABC W9XYZ RR73" if b in deep else "CQ K1JT FN20"
+        assert want in texts[b], (b, texts[b])
+    # osd channel indices must be GLOBAL (within range, no cross-shard
+    # aliasing): every valid posterior row maps to a real channel
+    if np.asarray(out["osd_valid"]).any():
+        chan = np.asarray(out["osd_chan"])[np.asarray(out["osd_valid"])]
+        assert chan.min() >= 0 and chan.max() < 16
+    assert n_rec >= 0
