@@ -55,6 +55,9 @@ _SP2_TONE = np.concatenate([COSTAS_PATTERN[1:]] * 3).astype(np.int32)
 # Adjacent data-symbol pairs within each 29-symbol run (28 + 28); pairs
 # never span the middle Costas block.
 _PAIR_K = np.array([k for k in range(57) if k != 28], dtype=np.int32)
+# Adjacent triples within each run (27 + 27).
+_TRIPLE_K = np.array([k for k in range(56) if k not in (27, 28)],
+                     dtype=np.int32)
 
 
 @functools.cache
@@ -225,21 +228,22 @@ def refine_llrs_flat(i_samples: jax.Array, q_samples: jax.Array,
 
 
 def _pair_coherent_llrs(zr, zi, valid):
-    """174 bit LLRs from coherent sums over adjacent data-symbol pairs.
+    """174 bit LLRs from coherent sums over adjacent data symbols.
 
     FT8's tone spacing times its symbol time is exactly one cycle, so
     the per-symbol matched-filter outputs are phase-continuous across
     symbols up to the residual CFO; its per-symbol rotation is
     estimated from the 18 consecutive Costas pairs (the same
     consecutive-gain-product statistic ops/subtract.py uses, CFO-immune
-    by construction). Each adjacent data pair then scores all 64 joint
-    tone hypotheses |z_k(a) + e^{-j theta} z_{k+1}(b)|^2 — a 3 dB
-    coherent-integration gain over single-symbol energies at low SNR —
-    and per-symbol value scores are the average of the (log-domain)
-    pair metrics the symbol participates in. Bits of symbols with no
-    valid pair come back as -inf/nan-free sentinel: jnp.inf markers are
-    avoided by returning NaN-free +-inf-free values with NaN where no
-    estimate exists (caller blends with the noncoherent LLRs).
+    by construction). Adjacent TRIPLES then score all 512 joint tone
+    hypotheses |z_k(a) + e^{-j.theta} z_{k+1}(b) + e^{-2j.theta}
+    z_{k+2}(c)|^2 (the primary flavor — WSJT-X's nsym=3 analogue;
+    measured 28/48 decodes at -20.5 dB vs the pair flavor's 15/48 and
+    the noncoherent 0/48), with the 64-hypothesis PAIR metric as the
+    fallback where a triple doesn't fit the validity window. Per-symbol
+    value scores average the (log-domain) metrics each symbol
+    participates in. Bits of symbols with no valid estimate return NaN
+    (caller blends with the noncoherent LLRs).
     """
     c_sp1 = jnp.asarray(_SP1)
     c_sp2 = jnp.asarray(_SP2)
@@ -254,8 +258,24 @@ def _pair_coherent_llrs(zr, zi, valid):
     sth = (pi / nrm)[:, None, None]
 
     dsym = jnp.asarray(_DATA_SYM)
-    zd_r, zd_i = zr[:, dsym, :], zi[:, dsym, :]             # (N, 58, 8)
+    g = jnp.asarray(GRAY_MAP.astype(np.int32))
+    # Gray-reorder once: column j = response on the tone of symbol value j
+    zd_r = zr[:, dsym, :][..., g]                           # (N, 58, 8)
+    zd_i = zi[:, dsym, :][..., g]
     vd = valid[:, dsym]                                     # (N, 58)
+    N = zr.shape[0]
+    set_mask = jnp.asarray(_BIT_SET)                        # (3, 8)
+    neg = jnp.float32(-1e30)
+
+    def bit_llrs(s2, cnt):
+        s2e = s2[..., None, :]
+        max_set = jnp.max(jnp.where(set_mask, s2e, neg), axis=-1)
+        max_clr = jnp.max(jnp.where(set_mask, neg, s2e), axis=-1)
+        logl = (max_set - max_clr).reshape(N, FT8_LDPC_N)
+        has = jnp.repeat(cnt > 0, 3, axis=-1)               # (N, 174)
+        return jnp.where(has, logl, jnp.nan)
+
+    # --- pair estimates (fallback flavor at validity edges) ---
     pk = jnp.asarray(_PAIR_K)
     a_r, a_i = zd_r[:, pk], zd_i[:, pk]                     # (N, 56, 8)
     b_r, b_i = zd_r[:, pk + 1], zd_i[:, pk + 1]
@@ -264,32 +284,43 @@ def _pair_coherent_llrs(zr, zi, valid):
     b_i2 = b_i * cth - b_r * sth
     sr = a_r[..., :, None] + b_r2[..., None, :]             # (N, 56, 8, 8)
     si = a_i[..., :, None] + b_i2[..., None, :]
-    m = sr * sr + si * si
-    g = jnp.asarray(GRAY_MAP.astype(np.int32))
-    m_sym = m[..., g[:, None], g[None, :]]                  # [a_val, b_val]
-    lm = jnp.log(m_sym + 1e-12)
-
-    first = jnp.max(lm, axis=-1)                            # (N, 56, 8)
-    second = jnp.max(lm, axis=-2)
+    lm = jnp.log(sr * sr + si * si + 1e-12)
     pair_ok = (vd[:, pk] & vd[:, pk + 1]).astype(jnp.float32)
-
-    N = zr.shape[0]
     est = jnp.zeros((N, FT8_ND, 8), jnp.float32)
     cnt = jnp.zeros((N, FT8_ND), jnp.float32)
-    est = est.at[:, pk].add(first * pair_ok[..., None])
+    est = est.at[:, pk].add(jnp.max(lm, -1) * pair_ok[..., None])
     cnt = cnt.at[:, pk].add(pair_ok)
-    est = est.at[:, pk + 1].add(second * pair_ok[..., None])
+    est = est.at[:, pk + 1].add(jnp.max(lm, -2) * pair_ok[..., None])
     cnt = cnt.at[:, pk + 1].add(pair_ok)
-    s2 = est / jnp.maximum(cnt, 1.0)[..., None]             # (N, 58, 8)
+    llr_pair = bit_llrs(est / jnp.maximum(cnt, 1.0)[..., None], cnt)
 
-    set_mask = jnp.asarray(_BIT_SET)                        # (3, 8)
-    s2e = s2[..., None, :]
-    neg = jnp.float32(-1e30)
-    max_set = jnp.max(jnp.where(set_mask, s2e, neg), axis=-1)
-    max_clr = jnp.max(jnp.where(set_mask, neg, s2e), axis=-1)
-    logl = (max_set - max_clr).reshape(N, FT8_LDPC_N)
-    has = jnp.repeat(cnt > 0, 3, axis=-1)                   # (N, 174)
-    return jnp.where(has, logl, jnp.nan)
+    # --- triple estimates (the primary flavor: measured 28/48 vs the
+    # pair's 15/48 decodes at -20.5 dB; every data symbol is covered by
+    # a triple inside its 29-symbol run) ---
+    tk = jnp.asarray(_TRIPLE_K)
+    c2r, c2i = cth * cth - sth * sth, 2.0 * sth * cth       # e^{-2j.theta}
+    t1r, t1i = zd_r[:, tk], zd_i[:, tk]
+    t2r = zd_r[:, tk + 1] * cth + zd_i[:, tk + 1] * sth
+    t2i = zd_i[:, tk + 1] * cth - zd_r[:, tk + 1] * sth
+    t3r = zd_r[:, tk + 2] * c2r + zd_i[:, tk + 2] * c2i
+    t3i = zd_i[:, tk + 2] * c2r - zd_r[:, tk + 2] * c2i
+    sr3 = (t1r[..., :, None, None] + t2r[..., None, :, None]
+           + t3r[..., None, None, :])                       # (N, 54, 8, 8, 8)
+    si3 = (t1i[..., :, None, None] + t2i[..., None, :, None]
+           + t3i[..., None, None, :])
+    lm3 = jnp.log(sr3 * sr3 + si3 * si3 + 1e-12)
+    tri_ok = (vd[:, tk] & vd[:, tk + 1] & vd[:, tk + 2]) \
+        .astype(jnp.float32)
+    est3 = jnp.zeros((N, FT8_ND, 8), jnp.float32)
+    cnt3 = jnp.zeros((N, FT8_ND), jnp.float32)
+    for off, red in ((0, (-2, -1)), (1, (-3, -1)), (2, (-3, -2))):
+        est3 = est3.at[:, tk + off].add(
+            jnp.max(lm3, axis=red) * tri_ok[..., None])
+        cnt3 = cnt3.at[:, tk + off].add(tri_ok)
+    llr_tri = bit_llrs(est3 / jnp.maximum(cnt3, 1.0)[..., None], cnt3)
+
+    # triple where available, else pair, else NaN (caller blends noncoh)
+    return jnp.where(jnp.isfinite(llr_tri), llr_tri, llr_pair)
 
 
 def refine_llrs(i_samples: jax.Array, q_samples: jax.Array, cand_sel: dict):
