@@ -102,7 +102,11 @@ def decode_window_dense(i_samples, q_samples, mesh: Mesh,
                     jnp.where(acc, 0, err0))
 
         # AP clamp rows on the budget-selected LLRs (pipeline.py
-        # semantics: re-run BP with the hypothesis bits pinned)
+        # semantics: re-run BP with the hypothesis bits pinned).
+        # Unselected rows are zero LLR vectors — BP on them converges
+        # nowhere and CRC gates them out; the daemon keeps the clamp-row
+        # set to O(1) so the extra BP passes stay a small fraction of
+        # the window budget.
         if ap_clamp_signs is not None:
             for h in range(ap_clamp_signs.shape[0]):
                 signs = ap_clamp_signs[h]

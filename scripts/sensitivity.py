@@ -93,9 +93,14 @@ def run(trials=100):
                      if b % n_types == ti and got[b]),
                  sum(1 for b in range(trials) if b % n_types == ti))
                 for ti in range(n_types)])
-            false_decodes += sum(
-                1 for b, decs in enumerate(res)
-                for d in decs if d.text != seeded[b])
+            for b, decs in enumerate(res):
+                for d in decs:
+                    if d.text != seeded[b]:
+                        false_decodes += 1
+                        print(f"  FALSE @{snr:+.1f} dB "
+                              f"[{VARIANTS[vi][0]}] ch{b} "
+                              f"seeded {seeded[b]!r} got {d.text!r} "
+                              f"(score {d.score})", flush=True)
         rows.append((snr, counts, trials, by_type))
         print(f"SNR {snr:+6.1f} dB: "
               + "  ".join(f"{n}:{c:3d}/{trials}"
