@@ -46,10 +46,15 @@ from ..protocol.constants import FT8_LDPC_N
 # hypotheses: overall max 0.501, but max 0.358 among candidates with
 # real sync evidence score>=13):
 #   - any candidate:     corr > 0.58  (≈6.1σ; ~2e-3 false/wideband window)
-#   - sync score >= 13:  corr > 0.50  (score>=13 noise cells are ~0.1% of
-#     candidates AND their corr null tops out ~0.36 — huge joint margin)
+#   - sync score >= 13:  corr > 0.55. The binding constraint here is NOT
+#     the noise null (0.36) but the wrong-hypothesis-with-signal case: a
+#     real signal whose true message is absent from the bank correlates
+#     up to ~0.52 with a related row (shared callsign bits), while true
+#     in-bank hits measure >= 0.648 — 0.55 splits them (measured: 0/144
+#     wrong-hypothesis accepts vs 4/144 at 0.50, at the cost of 1/58
+#     deep continuation decodes).
 AP_CW_THRESH = 0.58
-AP_CW_THRESH_SYNCED = 0.50
+AP_CW_THRESH_SYNCED = 0.55
 AP_CW_MIN_SCORE = 13
 
 # Clamp magnitude for BP clamp rows (~sqrt(24), the normalized LLR sigma
