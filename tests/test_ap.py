@@ -157,3 +157,30 @@ def test_qso_state_two_window_loop():
     w2 = _chan(reply, -21.0, seed=301, f0=700.0)
     assert reply not in texts_of(decode_window(w2))
     assert reply in texts_of(decode_window(w2, ap_texts=tr.bank()))
+
+
+def test_bank_rejects_wrong_hypothesis_on_real_signal():
+    """A real signal whose true message is NOT in the bank must not be
+    claimed as a related bank row. This is the binding false-decode
+    class (not noise): 'VA2GKA K1ABC -07' shares K1ABC's callsign bits
+    with the bank's 'W9XYZ K1ABC ...' rows and correlates up to ~0.52
+    at threshold-straddling SNR; the synced gate sits at 0.55 for
+    exactly this reason (ops/ap.py calibration comment)."""
+    bank_texts = (continuation_texts("K1ABC", "W9XYZ", grid="EN37")
+                  + continuation_texts("W9XYZ", "K1ABC"))
+    bank_set = {" ".join(t.split()) for t in bank_texts}
+
+    def sigma(snr, amp=0.5):
+        return np.sqrt(amp ** 2 / (2 * 10 ** (snr / 10) * (2500 / 3200)))
+
+    msg = "VA2GKA K1ABC -07"
+    for snr in (-20.0, -21.0, -21.5):
+        chans = [synthesize_message(
+            msg, f0_hz=250 + 20 * t, noise_sigma=sigma(snr),
+            rng=np.random.default_rng(hash((snr, t, 32)) % (1 << 31)))
+            for t in range(24)]
+        res = decode_window(np.stack(chans), ap_texts=bank_texts,
+                            osd_cands=8)
+        wrong = [d.text for decs in res for d in decs
+                 if d.text in bank_set]
+        assert not wrong, (snr, wrong)
