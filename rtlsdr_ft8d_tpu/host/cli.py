@@ -137,6 +137,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(FFTW-wisdom analogue)")
     p.add_argument("--psk-host", default=None, help="PSKreporter host")
     p.add_argument("--psk-port", type=int, default=4739)
+    p.add_argument("--elastic", action="store_true",
+                   help="wideband mode: decode over an elastic device "
+                        "mesh that shrinks (and keeps decoding) when "
+                        "chips die instead of exiting like the reference")
     p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
                    help="multi-host mode: JAX distributed coordinator "
                         "address (run one process per host; host 0's "

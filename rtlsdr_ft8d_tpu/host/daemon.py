@@ -180,15 +180,18 @@ class WindowProcessor:
         epoch = int(_now()) - SIGNAL_LENGTH_S + 1
         when = datetime.fromtimestamp(epoch, timezone.utc)
         t0 = time.time()
-        results, stats = decode_window(
-            (i_b, q_b), hashes=self.hashes, return_stats=True,
-            passes=getattr(self.args, "multipass", 1),
-            ap_cq=getattr(self.args, "ap", False),
-            budget=budget,
-            osd_cands=getattr(self.args, "osd", 0),
-            ap_call=(self.args.callsign if getattr(
-                self.args, "ap", False) else None),
-            ap_texts=(self.qso.bank() if self.qso else None))
+        if getattr(self.args, "elastic", False):
+            results, stats = self._decode_elastic(i_b, q_b, budget)
+        else:
+            results, stats = decode_window(
+                (i_b, q_b), hashes=self.hashes, return_stats=True,
+                passes=getattr(self.args, "multipass", 1),
+                ap_cq=getattr(self.args, "ap", False),
+                budget=budget,
+                osd_cands=getattr(self.args, "osd", 0),
+                ap_call=(self.args.callsign if getattr(
+                    self.args, "ap", False) else None),
+                ap_texts=(self.qso.bank() if self.qso else None))
         if getattr(self.args, "stats", False):
             from .log import logger
             stats.epoch = epoch
@@ -207,6 +210,60 @@ class WindowProcessor:
         self.reporter.report(all_decodes, self.dial_freq, epoch)
         self.windows_done += 1
         return all_decodes
+
+    def _decode_elastic(self, i_b, q_b, budget):
+        """Wideband decode through ElasticDecoder (--elastic): the local
+        device mesh shrinks when chips die and the band keeps decoding
+        (SURVEY §5 failure-detection; parallel/elastic.py). Runs the
+        same deep stack as the single-graph path (clamp rows, the QSO
+        continuation bank, per-shard refine/OSD); multipass subtraction
+        is not available on this path."""
+        import jax.numpy as jnp
+
+        from ..ops.ap import clamp_row_cq
+        from ..pipeline import (_merge_osd_decodes, ap_prefix_for_call,
+                                unpack_survivors)
+        from ..protocol.constants import K_MAX_CANDIDATES
+        from .log import WindowStats
+
+        if getattr(self, "_elastic", None) is None:
+            from ..parallel.elastic import ElasticDecoder
+            self._elastic = ElasticDecoder()
+        B = i_b.shape[0]
+        # per-channel -3 dB normalization (pipeline C9 stage; the dense
+        # graph takes pre-normalized baseband)
+        peak = np.maximum(np.abs(i_b).max(-1, keepdims=True),
+                          np.abs(q_b).max(-1, keepdims=True))
+        scale = (0.5 / np.maximum(peak, 1e-12)).astype(np.float32)
+        rows = []
+        if getattr(self.args, "ap", False):
+            rows.append(clamp_row_cq())
+            r = ap_prefix_for_call(self.args.callsign)
+            if r is not None:
+                rows.append(r)
+        clamp = jnp.asarray(np.stack(rows)) if rows else None
+        bank = jnp.asarray(self.qso.bank()) if self.qso else None
+        osd = getattr(self.args, "osd", 0)
+        out, _mesh = self._elastic.decode_window(
+            i_b * scale, q_b * scale,
+            global_budget=(budget or B * K_MAX_CANDIDATES),
+            osd_cands_global=(min(B * osd, 1024) if osd else 0),
+            ap_clamp_signs=clamp, ap_cw_signs=bank)
+        results, sub = unpack_survivors(out, B, self.hashes)
+        extra = {"windows_recovered": self._elastic.windows_recovered,
+                 "mesh_devices": int(self._elastic.mesh.devices.size)}
+        if osd:
+            extra["osd_recovered"] = _merge_osd_decodes(
+                out, results, sub, self.hashes)
+        stats = WindowStats(
+            channels=B,
+            candidates_scored=B * K_MAX_CANDIDATES,
+            candidates_above_min=int(np.sum(out["n_above_min"])),
+            ldpc_converged=int(np.sum(out["n_ldpc_ok"])),
+            crc_passed=int(np.sum(out["n_ok"])),
+            messages_unique=sum(len(r) for r in results),
+            extra=extra)
+        return results, stats
 
     def decimate_fullrate(self, i8: np.ndarray, q8: np.ndarray):
         """Full-rate int8 -> padded 48000-sample baseband (no decode)."""

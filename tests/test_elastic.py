@@ -125,3 +125,35 @@ def test_all_devices_dead_raises():
     i_s, q_s = _batch(8)
     with pytest.raises(RuntimeError, match="no devices left"):
         dec.decode_window(i_s, q_s, 400)
+
+
+def test_daemon_elastic_wideband_path():
+    """The daemon's --elastic wideband decode (host/daemon.py:
+    _decode_elastic) runs the full deep stack over the elastic mesh and
+    returns unpacked per-channel decodes + mesh observability stats."""
+    from types import SimpleNamespace
+
+    from rtlsdr_ft8d_tpu.host.daemon import WindowProcessor
+    from rtlsdr_ft8d_tpu.host.synth import synthesize_message
+    from rtlsdr_ft8d_tpu.ops.ap import QsoTracker
+
+    B = 8
+    msgs = ["CQ K1JT FN20", "K1ABC W9XYZ EN37"]
+    chans = [synthesize_message(msgs[b % 2], f0_hz=300 + 50 * b,
+                                noise_sigma=0.1,
+                                rng=np.random.default_rng(b))
+             for b in range(B)]
+    iq = np.stack(chans)
+    i_b = np.real(iq).astype(np.float32)
+    q_b = np.imag(iq).astype(np.float32)
+
+    self = SimpleNamespace(
+        args=SimpleNamespace(elastic=True, ap=True, osd=4,
+                             callsign="VA2GKA"),
+        hashes=None, qso=QsoTracker(), _elastic=None)
+    results, stats = WindowProcessor._decode_elastic(self, i_b, q_b,
+                                                     budget=400)
+    for b in range(B):
+        assert msgs[b % 2] in {d.text for d in results[b]}, b
+    assert stats.extra["mesh_devices"] >= 1
+    assert stats.crc_passed >= B
