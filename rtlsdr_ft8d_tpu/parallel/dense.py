@@ -68,7 +68,7 @@ def decode_window_dense(i_samples, q_samples, mesh: Mesh,
     pipeline._merge_osd_decodes exactly like the single-chip output.
     """
     from ..ops.ap import AP_CLAMP_MAG
-    from ..pipeline import compact_survivors
+    from ..pipeline import compact_survivors, deep_rungs
 
     axes = tuple(mesh.axis_names)
     n_shards = int(np.prod([mesh.shape[a] for a in axes]))
@@ -152,46 +152,14 @@ def decode_window_dense(i_samples, q_samples, mesh: Mesh,
                          "freq_offset")}
             llr_ref, _s, llr_pair = refine_llrs_flat(
                 i_loc, q_loc, cand_sel, chan_f, return_pair=True)
-            hard_r, err_r = bp_decode(llr_ref, ldpc_iters)
             was_failed = failed.reshape(-1)[sel_f]
-            ok_r = (err_r == 0) & crc_check(hard_r) & was_failed
-            hard_p, err_p, post_p = bp_decode(llr_pair, ldpc_iters,
-                                              return_posterior=True)
-            ok_p = (err_p == 0) & crc_check(hard_p) & was_failed & ~ok_r
-            hard_r = jnp.where(ok_p[:, None], hard_p, hard_r)
-            ok_r = ok_r | ok_p
-            if ap_clamp_signs is not None:
-                for h in range(ap_clamp_signs.shape[0]):
-                    signs = ap_clamp_signs[h]
-                    mask = signs != 0.0
-                    clamp = signs * jnp.float32(AP_CLAMP_MAG)
-                    for llr_b in (llr_pair, llr_ref):
-                        llr_c = llr_b.at[..., :77].set(
-                            jnp.where(mask, clamp, llr_b[..., :77]))
-                        hard_c, err_c = bp_decode(llr_c, ldpc_iters)
-                        ok_c = (err_c == 0) & crc_check(hard_c) \
-                            & was_failed & ~ok_r
-                        hard_r = jnp.where(ok_c[:, None], hard_c, hard_r)
-                        ok_r = ok_r | ok_c
-            if ap_cw_signs is not None:
-                from ..ops.ap import (AP_CW_MIN_SCORE, AP_CW_THRESH,
-                                      AP_CW_THRESH_SYNCED)
-                score_sel = scores.reshape(-1)[sel_f]
-                for llr_b in (llr_ref, llr_pair):
-                    corr = jnp.einsum('nj,hj->nh', llr_b, ap_cw_signs) \
-                        / jnp.maximum(jnp.sum(jnp.abs(llr_b), -1,
-                                              keepdims=True), 1e-9)
-                    cmax_r = jnp.max(corr, axis=-1)
-                    hit_r = (cmax_r > AP_CW_THRESH) \
-                        | ((cmax_r > AP_CW_THRESH_SYNCED)
-                           & (score_sel >= AP_CW_MIN_SCORE))
-                    ok_cw = hit_r & was_failed & ~ok_r
-                    hard_r = jnp.where(
-                        ok_cw[:, None],
-                        (jnp.take(ap_cw_signs, jnp.argmax(corr, -1),
-                                  axis=0) > 0).astype(hard_r.dtype),
-                        hard_r)
-                    ok_r = ok_r | ok_cw
+            score_sel = scores.reshape(-1)[sel_f]
+            ap_rows = ([ap_clamp_signs[h]
+                        for h in range(ap_clamp_signs.shape[0])]
+                       if ap_clamp_signs is not None else [])
+            hard_r, ok_r, post_p = deep_rungs(
+                llr_ref, llr_pair, was_failed, score_sel, ap_rows,
+                ap_cw_signs, ldpc_iters)
             hard_flat = hard.reshape(b_loc * K, -1)
             hard = hard_flat.at[sel_f].set(
                 jnp.where(ok_r[:, None], hard_r, hard_flat[sel_f])) \

@@ -95,6 +95,61 @@ def ap_prefix_for_call(call: str) -> np.ndarray | None:
     return clamp_row_to_call(call)
 
 
+def deep_rungs(llr_ref, llr_pair, was_failed, score_sel, ap_rows,
+               ap_cw_signs, ldpc_iters):
+    """The deep-decode rung ladder on a FLAT refined candidate selection,
+    shared by the single-chip graph and the sharded dense path
+    (parallel/dense.py): BP on the noncoherent refined LLRs, BP on the
+    pair/triple-coherent LLRs (ops/refine.py — WSJT-X's multi-symbol
+    combining, measured 24/32 vs 10/32 decodes at -20 dB), AP clamp
+    hypotheses on both flavors, and the continuation codeword bank
+    scored against both (the coherent null is no wider than the
+    noncoherent one: max 0.470/0.372 over 4.1M noise trials vs the
+    0.58/0.55 gate). Every acceptance is CRC-14-gated and restricted to
+    candidates that genuinely failed the main pass.
+
+    Returns (hard_r, ok_r, post_r): merged hard bits, accept mask, and
+    the COHERENT BP posteriors for host OSD (measured strictly better
+    than the noncoherent ones: 19 vs 4 recoveries at -20.5 dB)."""
+    from .ops.ap import (AP_CLAMP_MAG, AP_CW_MIN_SCORE, AP_CW_THRESH,
+                         AP_CW_THRESH_SYNCED)
+
+    hard_r, err_r = bp_decode(llr_ref, ldpc_iters)
+    ok_r = (err_r == 0) & crc_check(hard_r) & was_failed
+    hard_p, err_p, post_r = bp_decode(llr_pair, ldpc_iters,
+                                      return_posterior=True)
+    ok_p = (err_p == 0) & crc_check(hard_p) & was_failed & ~ok_r
+    hard_r = jnp.where(ok_p[:, None], hard_p, hard_r)
+    ok_r = ok_r | ok_p
+    for signs in ap_rows:
+        mask_c = signs != 0.0
+        clamp_c = signs * jnp.float32(AP_CLAMP_MAG)
+        for llr_base in (llr_pair, llr_ref):
+            llr_c = llr_base.at[..., :77].set(
+                jnp.where(mask_c, clamp_c, llr_base[..., :77]))
+            hard_c, err_c = bp_decode(llr_c, ldpc_iters)
+            ok_c = (err_c == 0) & crc_check(hard_c) & was_failed & ~ok_r
+            hard_r = jnp.where(ok_c[:, None], hard_c, hard_r)
+            ok_r = ok_r | ok_c
+    if ap_cw_signs is not None:
+        for llr_b in (llr_ref, llr_pair):
+            corr_r = jnp.einsum('nj,hj->nh', llr_b, ap_cw_signs) \
+                / jnp.maximum(jnp.sum(jnp.abs(llr_b), -1,
+                                      keepdims=True), 1e-9)
+            cmax_r = jnp.max(corr_r, axis=-1)
+            best_r = jnp.argmax(corr_r, axis=-1)
+            hit_r = (cmax_r > AP_CW_THRESH) \
+                | ((cmax_r > AP_CW_THRESH_SYNCED)
+                   & (score_sel >= AP_CW_MIN_SCORE))
+            ok_cw_r = hit_r & was_failed & ~ok_r
+            hard_r = jnp.where(
+                ok_cw_r[:, None],
+                (jnp.take(ap_cw_signs, best_r, axis=0) > 0)
+                .astype(hard_r.dtype), hard_r)
+            ok_r = ok_r | ok_cw_r
+    return hard_r, ok_r, post_r
+
+
 @functools.partial(jax.jit,
                    static_argnames=("num_candidates", "ldpc_iters", "ap_cq",
                                     "budget", "osd_cands", "sync_exact"))
@@ -267,65 +322,11 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
                     ("time_sub", "freq_sub", "time_offset", "freq_offset")}
         llr_ref, _ref_score, llr_pair = refine_llrs_flat(
             i_samples, q_samples, cand_sel, chan_f, return_pair=True)
-        hard_r, err_r = bp_decode(llr_ref, ldpc_iters)
         was_failed = failed.reshape(-1)[sel_f]
-        ok_r = (err_r == 0) & crc_check(hard_r) & was_failed
-        # Pair-coherent rung: adjacent data symbols combined coherently
-        # (ops/refine.py:_pair_coherent_llrs — WSJT-X's multi-symbol
-        # combining), ~1 dB sharper than the noncoherent refined LLRs
-        # (measured 24/32 vs 10/32 decodes at -20 dB). BP + CRC gate.
-        # The host OSD consumes the PAIR posteriors: measured strictly
-        # better (19 vs 4 recoveries at -20.5 dB incl. BP).
-        hard_p, err_p, post_r = bp_decode(llr_pair, ldpc_iters,
-                                          return_posterior=True)
-        ok_p = (err_p == 0) & crc_check(hard_p) & was_failed & ~ok_r
-        hard_r = jnp.where(ok_p[:, None], hard_p, hard_r)
-        ok_r = ok_r | ok_p
-        # AP clamp rungs on the refined statistics (both the noncoherent
-        # and the pair-coherent LLRs): the matched-filter statistics are
-        # sharper than the quantized waterfall's, so the same CQ/MyCall
-        # hypotheses decode deepest here (the ladder's counterpart of
-        # WSJT-X's AP passes inside its subtraction loop). CRC-14 over
-        # the full payload still gates every acceptance.
-        for signs in ap_rows:
-            mask_c = signs != 0.0
-            clamp_c = signs * jnp.float32(AP_CLAMP_MAG)
-            for llr_base in (llr_pair, llr_ref):
-                llr_c = llr_base.at[..., :77].set(
-                    jnp.where(mask_c, clamp_c, llr_base[..., :77]))
-                hard_c, err_c = bp_decode(llr_c, ldpc_iters)
-                ok_c = (err_c == 0) & crc_check(hard_c) \
-                    & was_failed & ~ok_r
-                hard_r = jnp.where(ok_c[:, None], hard_c, hard_r)
-                ok_r = ok_r | ok_c
-        if ap_cw_signs is not None:
-            # deepest rung of the AP ladder: the enumeration bank scored
-            # against the REFINED (matched-filter) LLRs of the best
-            # failures — these are the sharpest statistics the pipeline
-            # has, so continuation hypotheses decode furthest here
-            # (same laddered gate; refined noise null is LOWER than raw)
-            from .ops.ap import AP_CW_MIN_SCORE, AP_CW_THRESH_SYNCED
-            score_sel = cand["score"].reshape(-1)[sel_f]
-            # scored against BOTH refined LLR flavors; the pair-coherent
-            # null is no wider than the noncoherent one (measured max
-            # 0.470 unsynced / 0.372 synced over 4.1M noise trials vs
-            # the gate's 0.58 / 0.50), so the same laddered thresholds
-            # apply.
-            for llr_b in (llr_ref, llr_pair):
-                corr_r = jnp.einsum('nj,hj->nh', llr_b, ap_cw_signs) \
-                    / jnp.maximum(jnp.sum(jnp.abs(llr_b), -1,
-                                          keepdims=True), 1e-9)
-                cmax_r = jnp.max(corr_r, axis=-1)
-                best_r = jnp.argmax(corr_r, axis=-1)
-                hit_r = (cmax_r > AP_CW_THRESH) \
-                    | ((cmax_r > AP_CW_THRESH_SYNCED)
-                       & (score_sel >= AP_CW_MIN_SCORE))
-                ok_cw_r = hit_r & was_failed & ~ok_r
-                hard_r = jnp.where(
-                    ok_cw_r[:, None],
-                    (jnp.take(ap_cw_signs, best_r, axis=0) > 0)
-                    .astype(hard_r.dtype), hard_r)
-                ok_r = ok_r | ok_cw_r
+        score_sel = cand["score"].reshape(-1)[sel_f]
+        hard_r, ok_r, post_r = deep_rungs(
+            llr_ref, llr_pair, was_failed, score_sel, ap_rows,
+            ap_cw_signs, ldpc_iters)
         hard_flat = hard.reshape(B * K, -1)
         hard = hard_flat.at[sel_f].set(
             jnp.where(ok_r[:, None], hard_r, hard_flat[sel_f])) \
