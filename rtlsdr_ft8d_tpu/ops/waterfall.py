@@ -48,16 +48,25 @@ _COS = (np.cos(_ANG) * _WINDOW[:, None]).astype(np.float32)   # (1024, 512)
 _SIN = (np.sin(_ANG) * _WINDOW[:, None]).astype(np.float32)
 
 
-# FT8_TPU_WF_FAST=1 runs the waterfall DFT GEMMs at DEFAULT (bf16x3)
-# precision. The uint8 quantization (0.5 dB steps) absorbs the ~0.02 dB
-# rounding except on knife-edge cells; the bench correctness gate and
-# golden fixtures must stay identical before relying on it. Default is
-# HIGHEST: bit-exact quantization parity with the C reference semantics.
+# Waterfall DFT GEMM precision ladder (measured on hardware with
+# scripts/wf_fast_compare.py, 512 knife-edge channels -15..-20 dB):
+#   FT8_TPU_WF_FAST=1 -> DEFAULT (1-pass bf16): +27% whole-pipeline
+#     throughput, but 3/512 knife-edge decodes LOST — rejected.
+#   default           -> HIGH (bf16x3, ~2^-21 relative error): +10%
+#     headline (8,132 vs 7,416 windows/s) with the decode set
+#     IDENTICAL to HIGHEST on all 512 knife-edge channels, identical
+#     57/64 bench ladder, and exact golden-fixture decode lists on
+#     hardware — promoted to default in round 3.
+#   FT8_TPU_EXACT=1   -> HIGHEST: bit-exact uint8 quantization parity
+#     with the C reference semantics (the strict parity anchor; also
+#     switches the LDPC GEMMs to six-pass f32, ops/ldpc.py).
 import os as _os
 
-_WF_PRECISION = (jax.lax.Precision.DEFAULT
+_WF_PRECISION = (jax.lax.Precision.HIGHEST
+                 if _os.environ.get("FT8_TPU_EXACT") == "1"
+                 else jax.lax.Precision.DEFAULT
                  if _os.environ.get("FT8_TPU_WF_FAST") == "1"
-                 else jax.lax.Precision.HIGHEST)
+                 else jax.lax.Precision.HIGH)
 
 
 def _dft_mag2(i_frames, q_frames):
