@@ -2,15 +2,20 @@
 the bf16x3 waterfall vs the HIGHEST-precision default across many seeds
 and SNRs on real hardware.
 
-FT8_TPU_WF_FAST is read at import, so each precision runs in its own
-process: this script decodes a fixed set of knife-edge ladders (several
-seeds x 64 channels spanning -15..-20 dB with mixed message forms) and
-writes the sorted per-channel decode lists to a JSON file; run it twice
-with the env var flipped and diff the files.
+The precision env vars are read at import, so each precision runs in
+its own process: this script decodes a fixed set of knife-edge ladders
+(several seeds x 64 channels spanning -15..-20 dB with mixed message
+forms) and writes the sorted per-channel decode lists to a JSON file;
+run it twice with the env flipped and diff the files.
 
-  python3 scripts/wf_fast_compare.py /tmp/wf_hi.json
+  FT8_TPU_EXACT=1 python3 scripts/wf_fast_compare.py /tmp/wf_exact.json
+  python3 scripts/wf_fast_compare.py /tmp/wf_default.json   # HIGH
   FT8_TPU_WF_FAST=1 python3 scripts/wf_fast_compare.py /tmp/wf_fast.json
-  python3 scripts/wf_fast_compare.py --diff /tmp/wf_hi.json /tmp/wf_fast.json
+  python3 scripts/wf_fast_compare.py --diff /tmp/wf_exact.json /tmp/wf_default.json
+
+Round-3 measurements (PERF.md precision ladder): HIGH vs HIGHEST
+374=374 decodes, 0/512 channels differ (HIGH promoted to default);
+1-pass bf16 loses 3/512 (rejected).
 """
 
 import json
