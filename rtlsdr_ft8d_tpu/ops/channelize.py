@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..protocol.constants import CAPTURE_RATE, SIGNAL_SAMPLE_RATE
+from ..protocol.constants import CAPTURE_RATE
 from .decimate import R, design_lowpass
 
 CHANNEL_STEP_HZ = 1600

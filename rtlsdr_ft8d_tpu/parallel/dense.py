@@ -11,7 +11,6 @@ BP iterations — the distributed analogue of the reference's single-channel
 top-120 heap (rtlsdr_ft8d.c:1450).
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -8,11 +8,10 @@ the mesh's ICI ring inside shard_map — no host round-trip, no gather of the
 full stream anywhere.
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.decimate import HISTORY, R, polyphase_decimate

@@ -11,7 +11,6 @@ Usage: python3 scripts/tpu_smoke.py
 import sys
 sys.path.insert(0, "/root/repo")
 
-import numpy as np
 
 
 def main():

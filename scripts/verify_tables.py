@@ -20,7 +20,7 @@ import numpy as np
 from rtlsdr_ft8d_tpu.protocol.constants import (
     COSTAS_OFFSETS, COSTAS_PATTERN, GOLDEN_PACKED, GOLDEN_TONES,
     FT8_PAYLOAD_BITS, FT8_LDPC_K)
-from rtlsdr_ft8d_tpu.protocol.crc import add_crc, check_crc
+from rtlsdr_ft8d_tpu.protocol.crc import add_crc
 from rtlsdr_ft8d_tpu.protocol.encode import (bytes_to_bits, tones_to_codeword,
                                              ldpc_encode)
 

@@ -6,7 +6,6 @@ as a matched-filter codeword bank on the MXU.
 """
 
 import numpy as np
-import pytest
 
 from rtlsdr_ft8d_tpu.host.synth import synthesize_message
 from rtlsdr_ft8d_tpu.ops.ap import (QsoTracker, clamp_row_cq,

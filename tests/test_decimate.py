@@ -1,10 +1,8 @@
 """Polyphase decimator: parity vs scipy, streaming state carry, full chain."""
 
 import numpy as np
-import pytest
 from scipy.signal import upfirdn
 
-from rtlsdr_ft8d_tpu.host.synth import synthesize_message
 from rtlsdr_ft8d_tpu.ops.decimate import (HISTORY, R, StreamingDecimator,
                                           TAPS, filter_taps, fs4_shift,
                                           polyphase_decimate)

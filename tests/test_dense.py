@@ -1,13 +1,11 @@
 """Dense-band global-budget decode on the 8-device CPU mesh."""
 
 import numpy as np
-import pytest
 
 from rtlsdr_ft8d_tpu.host.synth import synthesize_message
 from rtlsdr_ft8d_tpu.parallel.dense import (decode_window_dense,
                                             make_grid_mesh)
 from rtlsdr_ft8d_tpu.pipeline import decode_window
-from rtlsdr_ft8d_tpu.protocol.encode import bytes_to_bits
 from rtlsdr_ft8d_tpu.protocol.unpack import unpack77
 
 

@@ -16,8 +16,7 @@ import pytest
 
 from rtlsdr_ft8d_tpu import native
 from rtlsdr_ft8d_tpu.protocol.pack import PackError, pack77
-from rtlsdr_ft8d_tpu.protocol.text import (FREE_TEXT_ALPHABET,
-                                           CallsignHashTable, hash_callsign)
+from rtlsdr_ft8d_tpu.protocol.text import CallsignHashTable, hash_callsign
 from rtlsdr_ft8d_tpu.protocol.unpack import (UnpackError, unpack77,
                                              unpack_spot, unpack_spots_batch)
 

@@ -6,7 +6,6 @@ phantom decodes."""
 
 import os
 
-import numpy as np
 
 FIX = os.path.join(os.path.dirname(__file__), "fixtures")
 

@@ -8,8 +8,6 @@ decoder must reproduce the list exactly — no misses, no phantoms."""
 
 import os
 
-import numpy as np
-import pytest
 
 FIX = os.path.join(os.path.dirname(__file__), "fixtures")
 

@@ -1,7 +1,6 @@
 """Hashed-callsign flow through the full decode path + reporter send."""
 
 import socket
-import threading
 
 import numpy as np
 

@@ -1,7 +1,6 @@
 """Ordered-statistics decoder unit tests (ops/osd.py)."""
 
 import numpy as np
-import pytest
 
 from rtlsdr_ft8d_tpu.ops.osd import encode_matrix, osd_batch, osd_decode
 from rtlsdr_ft8d_tpu.protocol.crc import payload_crc

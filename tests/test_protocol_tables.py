@@ -9,7 +9,7 @@ import numpy as np
 from rtlsdr_ft8d_tpu.protocol.constants import (
     COSTAS_OFFSETS, COSTAS_PATTERN, FT8_LDPC_K, FT8_LDPC_M, FT8_LDPC_N,
     FT8_PAYLOAD_BITS, GOLDEN_PACKED, GOLDEN_TONES)
-from rtlsdr_ft8d_tpu.protocol.crc import add_crc, check_crc, payload_crc
+from rtlsdr_ft8d_tpu.protocol.crc import add_crc, check_crc
 from rtlsdr_ft8d_tpu.protocol.encode import (bytes_to_bits, encode,
                                              ldpc_encode, tones_to_codeword)
 from rtlsdr_ft8d_tpu.protocol.generator import generator_matrix

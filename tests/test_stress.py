@@ -1,7 +1,6 @@
 """Randomized end-to-end stress: many channels, many signals, multipass."""
 
 import numpy as np
-import pytest
 
 from rtlsdr_ft8d_tpu.host.synth import synthesize_message
 from rtlsdr_ft8d_tpu.pipeline import decode_window
