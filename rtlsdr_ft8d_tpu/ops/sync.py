@@ -31,6 +31,31 @@ NUM_TIME_OFFSETS = TIME_OFFSET_MAX - TIME_OFFSET_MIN   # 36
 NUM_FREQ_OFFSETS = NUM_BIN - 7                          # 249
 
 
+def _count_table() -> np.ndarray:
+    """Per-time-offset accumulated-term count — data-INDEPENDENT.
+
+    Every gate in the C scoring loop (ft8_find_sync's neighbor-contrast
+    score) depends only on (time_offset, m, k): block validity, block > 0,
+    block + 1 < NUM_BLOCKS, sm > 0, sm < 7. So the divisor is a (36,)
+    constant, computed once here with the exact C conditions.
+    """
+    cnt = np.zeros(NUM_TIME_OFFSETS, np.int32)
+    for ti, to in enumerate(range(TIME_OFFSET_MIN, TIME_OFFSET_MAX)):
+        for m in COSTAS_OFFSETS:
+            for k in range(7):
+                b = to + m + k
+                if not (0 <= b < NUM_BLOCKS):
+                    continue
+                sm = int(COSTAS_PATTERN[k])
+                cnt[ti] += (sm > 0) + (sm < 7)
+                cnt[ti] += (k > 0) and (b > 0)
+                cnt[ti] += (k < 6) and (b + 1 < NUM_BLOCKS)
+    return np.maximum(cnt, 1)
+
+
+_COUNT = _count_table()                                    # (36,)
+
+
 def sync_scores(wf: jax.Array) -> jax.Array:
     """Score all candidate alignments.
 
@@ -40,69 +65,58 @@ def sync_scores(wf: jax.Array) -> jax.Array:
     Returns:
       (..., 2, 2, NUM_TIME_OFFSETS, NUM_FREQ_OFFSETS) int32 scores, indexed
       [time_sub][freq_sub][time_offset - TIME_OFFSET_MIN][freq_offset].
+
+    The score is a LINEAR function of the waterfall with data-independent
+    gating, so instead of accumulating ~80 masked two-gather terms over the
+    (36, 249) candidate grid (the shape of the C loop), it is restructured
+    into static-slice adds (integer math — bit-identical to the C):
+
+      1. four neighbor-difference planes on the small (92, 256) waterfall:
+         DL[b,j] = w[b,j]-w[b,j-1], DH = w[b,j]-w[b,j+1],
+         DP = w[b,j]-w[b-1,j] (row 0 zeroed: the C gates on block > 0),
+         DN = w[b,j]-w[b+1,j] (last row zeroed: gate block+1 < NUM_BLOCKS);
+      2. per-Costas-symbol combination: E_k = DH + DL·[sm>0] + DP·[k>0]
+         + DN·[k<6] — only 4 distinct variants since sm=0 only at k=3;
+      3. fold the three repetition offsets m ∈ {0,36,72} once per variant:
+         M_v[i] = Epad_v[i] + Epad_v[i+36] + Epad_v[i+72] (rows zero-padded,
+         which implements the C's block-validity gate);
+      4. score[to,fo] = Σ_k M_{v(k)}[to+k, fo+pattern[k]] — 7 static-slice
+         adds on the big grid, then the C truncating division by the
+         precomputed count.
     """
     w = wf.astype(jnp.int32)                     # (..., 92, 2, 2, 256)
-    # Move block axis last-but-one for freq slicing convenience:
     # reorder to (..., time_sub, freq_sub, block, bin)
     w = jnp.moveaxis(w, -4, -2)                  # (..., 2, 2, 92, 256)
+    nb = len(w.shape) - 2                        # batch rank incl. subs
 
-    batch_shape = w.shape[:-4]
-    out_shape = batch_shape + (2, 2, NUM_TIME_OFFSETS, NUM_FREQ_OFFSETS)
-    score = jnp.zeros(out_shape, jnp.int32)
-    count = jnp.zeros(out_shape, jnp.int32)
+    zrow = jnp.zeros(w.shape[:-2] + (1,) + w.shape[-1:], jnp.int32)
+    zbin = jnp.zeros(w.shape[:-1] + (1,), jnp.int32)
+    dl = jnp.concatenate([zbin, w[..., :, 1:] - w[..., :, :-1]], axis=-1)
+    dh = jnp.concatenate([w[..., :, :-1] - w[..., :, 1:], zbin], axis=-1)
+    dp = jnp.concatenate([zrow, w[..., 1:, :] - w[..., :-1, :]], axis=-2)
+    dn = jnp.concatenate([w[..., :-1, :] - w[..., 1:, :], zrow], axis=-2)
+    s4 = dl + dh + dp + dn
+    variants = {"all": s4, "no_dp": s4 - dp,     # k == 0
+                "no_dl": s4 - dl,                # k == 3 (sm == 0)
+                "no_dn": s4 - dn}                # k == 6
 
-    to = np.arange(TIME_OFFSET_MIN, TIME_OFFSET_MAX)        # (36,)
+    def fold(e):
+        # rows needed: to+m+k for to in [-12,24), k in [0,7), m in {0,36,72}
+        # -> padded index (to+12)+k+m in [0, 114)
+        ep = jnp.pad(e, [(0, 0)] * nb + [(12, 10), (0, 0)])
+        return ep[..., 0:42, :] + ep[..., 36:78, :] + ep[..., 72:114, :]
 
-    def block_plane(delta: int):
-        """wf values at block (time_offset + delta) for all time offsets.
-
-        Returns (..., 2, 2, 36, 256) with out-of-range blocks zero-filled,
-        plus the validity mask (36,) -> broadcastable.
-        """
-        blocks = to + delta
-        valid = (blocks >= 0) & (blocks < NUM_BLOCKS)
-        idx = np.clip(blocks, 0, NUM_BLOCKS - 1)
-        plane = w[..., idx, :]                  # (..., 2, 2, 36, 256)
-        mask = jnp.asarray(valid)[..., :, None]  # (36, 1)
-        return plane, mask, valid
-
-    for m in COSTAS_OFFSETS:
-        for k in range(7):
-            sm = int(COSTAS_PATTERN[k])
-            plane, mask, valid_np = block_plane(m + k)
-            # expected-tone cell across all freq offsets: bins fo+sm
-            p_sm = plane[..., sm:sm + NUM_FREQ_OFFSETS]
-            zero = jnp.zeros_like(p_sm)
-            m_i = mask.astype(jnp.int32)
-
-            if sm > 0:
-                p_lo = plane[..., sm - 1:sm - 1 + NUM_FREQ_OFFSETS]
-                score = score + jnp.where(mask, p_sm - p_lo, zero)
-                count = count + m_i
-            if sm < 7:
-                p_hi = plane[..., sm + 1:sm + 1 + NUM_FREQ_OFFSETS]
-                score = score + jnp.where(mask, p_sm - p_hi, zero)
-                count = count + m_i
-            if k > 0:
-                prev, prev_mask, _ = block_plane(m + k - 1)
-                # C condition: block valid AND block > 0  (block-1 >= 0)
-                blocks = to + m + k
-                cond = valid_np & (blocks > 0)
-                cmask = mask & jnp.asarray(cond)[..., :, None]
-                p_pv = prev[..., sm:sm + NUM_FREQ_OFFSETS]
-                score = score + jnp.where(cmask, p_sm - p_pv, zero)
-                count = count + cmask.astype(jnp.int32)
-            if k < 6:
-                nxt, _, _ = block_plane(m + k + 1)
-                blocks = to + m + k
-                cond = valid_np & (blocks + 1 < NUM_BLOCKS)
-                cmask = mask & jnp.asarray(cond)[..., :, None]
-                p_nx = nxt[..., sm:sm + NUM_FREQ_OFFSETS]
-                score = score + jnp.where(cmask, p_sm - p_nx, zero)
-                count = count + cmask.astype(jnp.int32)
+    folded = {v: fold(e) for v, e in variants.items()}
+    score = None
+    for k in range(7):
+        sm = int(COSTAS_PATTERN[k])
+        v = {0: "no_dp", 3: "no_dl", 6: "no_dn"}.get(k, "all")
+        term = folded[v][..., k:k + NUM_TIME_OFFSETS,
+                         sm:sm + NUM_FREQ_OFFSETS]
+        score = term if score is None else score + term
 
     # C truncating division (toward zero, negative scores possible)
-    count = jnp.maximum(count, 1)
+    count = jnp.asarray(_COUNT)[:, None]         # (36, 1) broadcast
     q = jnp.abs(score) // count
     return jnp.sign(score) * q
 
