@@ -36,9 +36,21 @@ NUM_FFT_BINS = NUM_BIN * FREQ_OSR   # 512 (0..1600 Hz)
 # rtlsdr_ft8d.c:331-334).
 _WINDOW = np.sin(np.pi * np.arange(NFFT) / NFFT).astype(np.float32)
 
-# Frame gather indices: frame t covers samples [t*256, t*256+1024).
-_FRAME_IDX = (np.arange(NUM_FRAMES)[:, None] * SUB_BLOCK_SIZE
-              + np.arange(NFFT)[None, :]).astype(np.int32)
+# Frames overlap 4x with a 256-sample stride: frame t covers samples
+# [t*256, t*256+1024). Fetching them as a general gather of NUM_FRAMES*1024
+# duplicated indices measured 1.6 ms at B=64 on v5e; reshaping into
+# NUM_SEGMENTS 256-sample blocks and concatenating 4 STATIC slices is the
+# same tensor bit-for-bit at 0.4 ms (lane-aligned copies, no gather).
+NUM_SEGMENTS = NFFT // SUB_BLOCK_SIZE               # 4
+NUM_BLOCKS_RAW = NUM_FRAMES + NUM_SEGMENTS - 1      # 187
+
+
+def _frames(x: jax.Array) -> jax.Array:
+    """(..., 48000) samples -> (..., 184, 1024) overlapped windowless frames."""
+    bl = x[..., :NUM_BLOCKS_RAW * SUB_BLOCK_SIZE].reshape(
+        x.shape[:-1] + (NUM_BLOCKS_RAW, SUB_BLOCK_SIZE))
+    return jnp.concatenate(
+        [bl[..., j:j + NUM_FRAMES, :] for j in range(NUM_SEGMENTS)], axis=-1)
 
 # DFT bases, window folded in: X_k = sum_n w_n x_n e^{-2pi i nk/N}
 #   Re X = I @ C + Q @ S ;  Im X = Q @ C - I @ S
@@ -88,8 +100,8 @@ def waterfall(i_samples: jax.Array, q_samples: jax.Array) -> jax.Array:
     Returns:
       (..., NUM_BLOCKS, TIME_OSR, FREQ_OSR, NUM_BIN) uint8 waterfall.
     """
-    i_f = i_samples[..., _FRAME_IDX]               # (..., 184, 1024)
-    q_f = q_samples[..., _FRAME_IDX]
+    i_f = _frames(i_samples)                       # (..., 184, 1024)
+    q_f = _frames(q_samples)
     mag2 = _dft_mag2(i_f, q_f)                     # (..., 184, 512)
     db = 10.0 * jnp.log10(1e-12 + mag2 * (4.0 / (NFFT * NFFT)))
     scaled = jnp.trunc(2.0 * db + 240.0)
