@@ -59,6 +59,9 @@ for m in range(FT8_LDPC_M):
             _SEL_TOV2EDGE[n * 3 + _NM_POS[m, j], m * 7 + j] = 1.0
 # edge excl (N,581) @ _SEL_EDGE2TOV (581,522) -> tov'[n, i]
 _SEL_EDGE2TOV = _SEL_TOV2EDGE.T.copy()
+# [post, tov] (N,696) @ _SEL_V2E_COMBINED (696,581) -> post[n] - tov[n,pos]
+# per edge in ONE GEMM (each output column has exactly two +/-1 entries)
+_SEL_V2E_COMBINED = np.concatenate([_SEL_VAR2EDGE, -_SEL_TOV2EDGE], axis=0)
 # parity counting: hard (N,174) @ _SEL_VAR2CHECK (174,83) -> ones per check
 _SEL_VAR2CHECK = np.zeros((FT8_LDPC_N, FT8_LDPC_M), np.float32)
 for m in range(FT8_LDPC_M):
@@ -214,8 +217,7 @@ def bp_decode(llr: jax.Array, max_iters: int = 20,
     llr2 = llr.reshape((-1, FT8_LDPC_N))
     N = llr2.shape[0]
 
-    var2edge = jnp.asarray(_SEL_VAR2EDGE)
-    tov2edge = jnp.asarray(_SEL_TOV2EDGE)
+    sel_v2e_combined = jnp.asarray(_SEL_V2E_COMBINED)
     edge2tov = jnp.asarray(_SEL_EDGE2TOV)
     var2check = jnp.asarray(_SEL_VAR2CHECK)
     edge_valid = jnp.asarray(_NM_VALID.reshape(-1))          # (581,)
@@ -246,20 +248,23 @@ def bp_decode(llr: jax.Array, max_iters: int = 20,
         best_hard = jnp.where(better[..., None], hard.astype(jnp.int8),
                               best_hard)
 
-        # Variable -> check: Tnm = posterior[n] - tov[n, pos(m)] per edge
-        e_edge = jnp.dot(post, var2edge, **_MM)              # (N, 581)
-        tov_edge = jnp.dot(tov, tov2edge, **_MM)             # (N, 581)
-        toc = _fast_tanh(-0.5 * (e_edge - tov_edge))
+        # Variable -> check: Tnm = posterior[n] - tov[n, pos(m)] per edge,
+        # as ONE concatenated GEMM: [post, tov] @ [var2edge; -tov2edge]
+        pt = jnp.concatenate([post, tov], axis=-1)           # (N, 696)
+        diff = jnp.dot(pt, sel_v2e_combined, **_MM)          # (N, 581)
+        toc = _fast_tanh(-0.5 * diff)
         toc = jnp.where(edge_valid, toc, 1.0)
         toc7 = toc.reshape(N, FT8_LDPC_M, 7)
 
-        # Exclusive products per check row (7 static masked variants)
-        excl = []
-        for j in range(7):
-            mask = np.ones(7, bool); mask[j] = False
-            excl.append(jnp.prod(jnp.where(jnp.asarray(mask), toc7, 1.0),
-                                 axis=-1))
-        excl = jnp.stack(excl, axis=-1).reshape(N, _EDGES)
+        # Exclusive products per check row via prefix/suffix products
+        # (2*6 muls instead of 7 masked 6-term products)
+        fwd = [jnp.ones_like(toc7[..., 0])]
+        bwd = [jnp.ones_like(toc7[..., 0])]
+        for j in range(6):
+            fwd.append(fwd[-1] * toc7[..., j])
+            bwd.append(bwd[-1] * toc7[..., 6 - j])
+        excl = jnp.stack([fwd[j] * bwd[6 - j] for j in range(7)],
+                         axis=-1).reshape(N, _EDGES)
 
         # Check -> variable scatter via GEMM
         val = jnp.dot(excl, edge2tov, **_MM)                 # (N, 522)
