@@ -246,10 +246,11 @@ def main():
     result["busy_e2e_osd_recovered"] = n_osd_rec
     result["busy_e2e_osd_realtime_ok"] = bool(busy_osd_s <= 15.0)
 
-    # BENCH_WIDEBAND=1: the flagship full-band config — ALL 1500 channels
-    # of one 2.4 MHz capture as a single budgeted batch (compile ~107 s
-    # once; persistent-cached afterwards).
-    if _os.environ.get("BENCH_WIDEBAND") == "1":
+    # Flagship full-band config — ALL 1500 channels of one 2.4 MHz capture
+    # as a single budgeted batch. Included by default since round 3 (the
+    # compiles are persistent-cached; first-ever run pays ~107 s + ~147 s
+    # once). BENCH_WIDEBAND=0 skips it.
+    if _os.environ.get("BENCH_WIDEBAND") != "0":
         WB = 1500
         rng_w = np.random.default_rng(1)
         wi = 0.05 * rng_w.standard_normal((WB, 48000)).astype(np.float32)

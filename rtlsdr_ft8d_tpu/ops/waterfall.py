@@ -58,6 +58,7 @@ _N, _K = np.meshgrid(np.arange(NFFT), np.arange(NUM_FFT_BINS), indexing="ij")
 _ANG = 2.0 * np.pi * _N * _K / NFFT
 _COS = (np.cos(_ANG) * _WINDOW[:, None]).astype(np.float32)   # (1024, 512)
 _SIN = (np.sin(_ANG) * _WINDOW[:, None]).astype(np.float32)
+_COS_MINUS_SIN = _COS - _SIN        # third basis of the 3-mult complex GEMM
 
 
 # Waterfall DFT GEMM precision ladder (measured on hardware with
@@ -82,12 +83,28 @@ _WF_PRECISION = (jax.lax.Precision.HIGHEST
 
 
 def _dft_mag2(i_frames, q_frames):
-    """|DFT|^2 of windowed frames via real matmuls. (..., 1024) -> (..., 512)."""
-    C, S = jnp.asarray(_COS), jnp.asarray(_SIN)
+    """|DFT|^2 of windowed frames via real matmuls. (..., 1024) -> (..., 512).
+
+    Default path: 3-multiplication complex GEMM (Karatsuba form of
+    (I + iQ) @ (C - iS)): P1 = I@C, P2 = Q@S, P3 = (I+Q)@(C-S);
+    re = P1 + P2, im = P3 - P1 + P2 — a 25% MXU-FLOP cut vs the classic
+    4-GEMM form. Measured on hardware (scripts/wf_fast_compare.py, 512
+    knife-edge channels -15..-20 dB): decode sets IDENTICAL to the
+    4-GEMM HIGHEST anchor. FT8_TPU_EXACT=1 keeps the classic 4-GEMM
+    HIGHEST form as the bit-exact parity anchor.
+    """
     kw = dict(precision=_WF_PRECISION,
               preferred_element_type=jnp.float32)
-    re = jnp.dot(i_frames, C, **kw) + jnp.dot(q_frames, S, **kw)
-    im = jnp.dot(q_frames, C, **kw) - jnp.dot(i_frames, S, **kw)
+    C, S = jnp.asarray(_COS), jnp.asarray(_SIN)
+    if _WF_PRECISION == jax.lax.Precision.HIGHEST:
+        re = jnp.dot(i_frames, C, **kw) + jnp.dot(q_frames, S, **kw)
+        im = jnp.dot(q_frames, C, **kw) - jnp.dot(i_frames, S, **kw)
+    else:
+        p1 = jnp.dot(i_frames, C, **kw)
+        p2 = jnp.dot(q_frames, S, **kw)
+        p3 = jnp.dot(i_frames + q_frames, jnp.asarray(_COS_MINUS_SIN), **kw)
+        re = p1 + p2
+        im = p3 - p1 + p2
     return re * re + im * im
 
 
