@@ -130,8 +130,7 @@ def bp_decode_minsum(llr: jax.Array, max_iters: int = 20,
     llr2 = llr.reshape((-1, FT8_LDPC_N))
     N = llr2.shape[0]
 
-    var2edge = jnp.asarray(_SEL_VAR2EDGE)
-    tov2edge = jnp.asarray(_SEL_TOV2EDGE)
+    sel_v2e_combined = jnp.asarray(_SEL_V2E_COMBINED)
     edge2tov = jnp.asarray(_SEL_EDGE2TOV)
     var2check = jnp.asarray(_SEL_VAR2CHECK)
     edge_valid = jnp.asarray(_NM_VALID.reshape(-1))
@@ -161,9 +160,8 @@ def bp_decode_minsum(llr: jax.Array, max_iters: int = 20,
         best_hard = jnp.where(better[..., None], hard.astype(jnp.int8),
                               best_hard)
 
-        e_edge = jnp.dot(post, var2edge, **_MM)
-        tov_edge = jnp.dot(tov, tov2edge, **_MM)
-        v = (e_edge - tov_edge).reshape(N, FT8_LDPC_M, 7)
+        pt = jnp.concatenate([post, tov], axis=-1)       # (N, 696)
+        v = jnp.dot(pt, sel_v2e_combined, **_MM).reshape(N, FT8_LDPC_M, 7)
         mag = jnp.where(edge_valid.reshape(FT8_LDPC_M, 7), jnp.abs(v), BIG)
         sgn = jnp.where(edge_valid.reshape(FT8_LDPC_M, 7) & (v < 0),
                         -1.0, 1.0)

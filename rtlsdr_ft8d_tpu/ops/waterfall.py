@@ -96,15 +96,19 @@ def _dft_mag2(i_frames, q_frames):
     kw = dict(precision=_WF_PRECISION,
               preferred_element_type=jnp.float32)
     C, S = jnp.asarray(_COS), jnp.asarray(_SIN)
-    if _WF_PRECISION == jax.lax.Precision.HIGHEST:
-        re = jnp.dot(i_frames, C, **kw) + jnp.dot(q_frames, S, **kw)
-        im = jnp.dot(q_frames, C, **kw) - jnp.dot(i_frames, S, **kw)
-    else:
+    if _WF_PRECISION == jax.lax.Precision.HIGH:
+        # Karatsuba only at the measured HIGH default: the HIGHEST anchor
+        # keeps the classic form for bit parity, and the (rejected)
+        # 1-pass-bf16 WF_FAST rung keeps the form its divergence numbers
+        # were measured with.
         p1 = jnp.dot(i_frames, C, **kw)
         p2 = jnp.dot(q_frames, S, **kw)
         p3 = jnp.dot(i_frames + q_frames, jnp.asarray(_COS_MINUS_SIN), **kw)
         re = p1 + p2
         im = p3 - p1 + p2
+    else:
+        re = jnp.dot(i_frames, C, **kw) + jnp.dot(q_frames, S, **kw)
+        im = jnp.dot(q_frames, C, **kw) - jnp.dot(i_frames, S, **kw)
     return re * re + im * im
 
 

@@ -69,7 +69,9 @@ def main():
     @jax.jit
     def stage_bp(llrs):
         hard, err = bp_decode(llrs)
-        return hard, err & crc_check(hard).astype(err.dtype) * 0 + err
+        # include the CRC GEMM in the timed stage (adding the bool keeps
+        # it live; err==0 & crc is the pipeline's accept condition)
+        return hard, err + (~crc_check(hard)).astype(err.dtype)
 
     wf = stage_wf(i_s, q_s)
     cand = stage_sync(wf)

@@ -24,11 +24,14 @@ def main():
     i_s = jnp.asarray(rng.standard_normal((B, 48000)).astype(np.float32))
     q_s = jnp.asarray(rng.standard_normal((B, 48000)).astype(np.float32))
 
-    def frames_concat(x):
-        nblk = NF + W.NFFT // SB - 1                      # 187
-        bl = x[..., :nblk * SB].reshape(x.shape[:-1] + (nblk, SB))
-        return jnp.concatenate(
-            [bl[..., j:j + NF, :] for j in range(W.NFFT // SB)], axis=-1)
+    # the OLD formulation this script exists to compare against: a general
+    # gather of NUM_FRAMES x NFFT duplicated indices (ops/waterfall.py used
+    # this until the static-slice concat, W._frames, replaced it)
+    frame_idx = (np.arange(NF)[:, None] * SB
+                 + np.arange(W.NFFT)[None, :]).astype(np.int32)
+
+    def frames_gather(x):
+        return x[..., frame_idx]
 
     def finish(mag2):
         db = 10.0 * jnp.log10(1e-12 + mag2 * (4.0 / (W.NFFT * W.NFFT)))
@@ -39,8 +42,12 @@ def main():
         return jnp.swapaxes(q.reshape(shape), -1, -2)
 
     @jax.jit
+    def wf_gather(i, q):
+        return finish(W._dft_mag2(frames_gather(i), frames_gather(q)))
+
+    @jax.jit
     def wf_concat(i, q):
-        return finish(W._dft_mag2(frames_concat(i), frames_concat(q)))
+        return finish(W._dft_mag2(W._frames(i), W._frames(q)))
 
     @jax.jit
     def wf_conv(i, q):
@@ -59,7 +66,7 @@ def main():
             - jax.lax.conv_general_dilated(ix, S, **kw)
         return finish((re * re + im * im)[:, :NF])
 
-    ref = np.asarray(jax.jit(W.waterfall)(i_s, q_s))
+    ref = np.asarray(wf_gather(i_s, q_s))
     got_c = np.asarray(wf_concat(i_s, q_s))
     print("concat exact:", bool((ref == got_c).all()))
     try:
@@ -83,7 +90,7 @@ def main():
             ts.append((time.time() - t0) / DEPTH)
         print(f"{name:12s} {float(np.median(ts))*1e3:7.3f} ms")
 
-    timeit("gather", jax.jit(W.waterfall))
+    timeit("gather", wf_gather)
     timeit("concat", wf_concat)
     if conv_ok:
         timeit("conv", wf_conv)
