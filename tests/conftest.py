@@ -16,6 +16,13 @@ jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Persistent compilation cache for the CPU test graphs (separate dir from
+# the TPU cache): the suite's wall time is dominated by recompiling the
+# same decode graphs every run.
+from rtlsdr_ft8d_tpu.host.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(os.path.expanduser("~/.cache/tpu_ft8d_xla_cputest"))
+
 
 def pytest_sessionstart(session):
     devs = jax.devices()
