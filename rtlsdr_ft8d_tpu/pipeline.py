@@ -25,10 +25,15 @@ from .ops.ldpc import bp_decode as _bp_sum_product
 from .ops.ldpc import bp_decode_minsum, crc_check
 
 # FT8_TPU_MINSUM=1 selects normalized min-sum BP (~2x cheaper check-node
-# updates, within ~0.1 dB of sum-product); default is the sum-product rule
-# matching ft8_lib's bp_decode.
-bp_decode = (bp_decode_minsum if _os.environ.get("FT8_TPU_MINSUM") == "1"
-             else _bp_sum_product)
+# updates, within ~0.1 dB of sum-product); FT8_TPU_BP_PALLAS=1 selects the
+# single-kernel VMEM-resident Pallas decoder (ops/ldpc_pallas.py); default
+# is the XLA sum-product rule matching ft8_lib's bp_decode.
+if _os.environ.get("FT8_TPU_BP_PALLAS") == "1":
+    from .ops.ldpc_pallas import bp_decode_pallas as bp_decode
+elif _os.environ.get("FT8_TPU_MINSUM") == "1":
+    bp_decode = bp_decode_minsum
+else:
+    bp_decode = _bp_sum_product
 from .ops.llr import estimate_snr, extract_llrs
 from .ops.sync import find_sync
 from .ops.waterfall import waterfall

@@ -120,3 +120,33 @@ def test_minsum_decodes_like_sum_product():
         ok2 = int(e2[0]) == 0 and np.array_equal(np.asarray(h2[0]), cw)
         agree += ok1 == ok2
     assert agree >= 19
+
+
+def test_pallas_bp_matches_sum_product():
+    """The single-kernel Pallas decoder (interpret mode on CPU) must agree
+    with the XLA sum-product decoder: identical error counts and identical
+    hard decisions on every success, across codewords at several noise
+    levels plus pure-noise rows."""
+    from rtlsdr_ft8d_tpu.ops.ldpc_pallas import bp_decode_pallas
+    from rtlsdr_ft8d_tpu.protocol.crc import add_crc
+    from rtlsdr_ft8d_tpu.protocol.encode import ldpc_encode
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for t in range(40):
+        payload = rng.integers(0, 2, 77).astype(np.uint8)
+        cw = ldpc_encode(add_crc(payload)).astype(np.float32)
+        scale = [4.0, 1.2, 0.7][t % 3]
+        rows.append((2.0 * cw - 1.0) * scale
+                    + rng.normal(0, 1.0, 174).astype(np.float32))
+    for _ in range(24):
+        rows.append(rng.normal(0, 2.0, 174).astype(np.float32))
+    llr = jnp.asarray(np.stack(rows) * 2.0)
+
+    h1, e1 = bp_decode(llr)
+    h2, e2 = bp_decode_pallas(llr)
+    h1, e1, h2, e2 = map(np.asarray, (h1, e1, h2, e2))
+    assert (e1 == e2).all()
+    ok = e1 == 0
+    assert ok.sum() >= 14         # at least the strong rows must decode
+    assert (h1[ok] == h2[ok]).all()
