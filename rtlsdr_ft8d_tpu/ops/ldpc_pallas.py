@@ -35,8 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..protocol.constants import FT8_LDPC_M, FT8_LDPC_N
-from .ldpc import (_EDGES, _NM_VALID, _SEL_EDGE2TOV, _SEL_V2E_COMBINED,
-                   _SEL_VAR2CHECK)
+from .ldpc import (_EDGES, _NM_VALID, _SEL_EDGE2TOV, _SEL_TOV2EDGE,
+                   _SEL_VAR2CHECK, _SEL_VAR2EDGE)
 
 BLOCK = 256                      # candidates per kernel instance
 
@@ -71,10 +71,12 @@ def _fast_atanh(x):
         / (945.0 + x2 * (-1050.0 + x2 * 225.0))
 
 
-def _bp_kernel(llr_ref, v2e_ref, e2t_ref, g_ref, sumt_ref, v2c_ref,
-               valid_ref, hard_ref, err_ref, post_ref, *, max_iters):
+def _bp_kernel(llr_ref, v2e_ref, t2e_ref, e2t_ref, g_ref, sumt_ref,
+               v2c_ref, valid_ref, hard_ref, err_ref, post_ref, *,
+               max_iters):
     llr = llr_ref[:]                                   # (BLOCK, 174)
-    v2e = v2e_ref[:]                                   # (696, 581)
+    v2e = v2e_ref[:]                                   # (174, 581)
+    t2e = t2e_ref[:]                                   # (522, 581)
     e2t = e2t_ref[:]                                   # (581, 522)
     g = g_ref[:]                                       # (581, 581)
     sumt = sumt_ref[:]                                 # (522, 174)
@@ -98,8 +100,8 @@ def _bp_kernel(llr_ref, v2e_ref, e2t_ref, g_ref, sumt_ref, v2c_ref,
         best_hard = jnp.where(better, hard, best_hard)
 
         # variable -> check per edge: post[n] - tov[n, pos(m)]
-        pt = jnp.concatenate([post, tov], axis=-1)     # (B, 696)
-        v = dot(pt, v2e)                               # (B, 581)
+        # (two dots, not a lane-concat: Mosaic-friendlier)
+        v = dot(post, v2e) - dot(tov, t2e)             # (B, 581)
         toc = _fast_tanh(-0.5 * v)
         toc = jnp.where(valid > 0, toc, 1.0)
 
@@ -148,9 +150,9 @@ def bp_decode_pallas(llr: jax.Array, max_iters: int = 20,
     nblk = llr2.shape[0] // BLOCK
 
     kern = functools.partial(_bp_kernel, max_iters=max_iters)
-    mats = (jnp.asarray(_SEL_V2E_COMBINED), jnp.asarray(_SEL_EDGE2TOV),
-            jnp.asarray(_G_EXCL), jnp.asarray(_SUM_TOV),
-            jnp.asarray(_SEL_VAR2CHECK),
+    mats = (jnp.asarray(_SEL_VAR2EDGE), jnp.asarray(_SEL_TOV2EDGE),
+            jnp.asarray(_SEL_EDGE2TOV), jnp.asarray(_G_EXCL),
+            jnp.asarray(_SUM_TOV), jnp.asarray(_SEL_VAR2CHECK),
             jnp.asarray(_EDGE_VALID_F)[None, :])
     fixed = lambda i: (0, 0)
     hard_f, err_f, post_f = pl.pallas_call(
