@@ -36,7 +36,13 @@ else:
     bp_decode = _bp_sum_product
 from .ops.llr import estimate_snr, extract_llrs
 from .ops.sync import find_sync
-from .ops.waterfall import waterfall
+
+# FT8_TPU_WF_PALLAS=1 selects the fused single-kernel waterfall
+# (ops/waterfall_pallas.py); default is the XLA formulation.
+if _os.environ.get("FT8_TPU_WF_PALLAS") == "1":
+    from .ops.waterfall_pallas import waterfall_pallas as waterfall
+else:
+    from .ops.waterfall import waterfall
 from .protocol.constants import (FT8_LDPC_K, K_LDPC_ITERS, K_MAX_CANDIDATES,
                                  K_MAX_MESSAGES, K_MIN_SCORE, TONE_SPACING_HZ)
 from .protocol.text import CallsignHashTable

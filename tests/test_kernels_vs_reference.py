@@ -150,3 +150,24 @@ def test_pallas_bp_matches_sum_product():
     ok = e1 == 0
     assert ok.sum() >= 14         # at least the strong rows must decode
     assert (h1[ok] == h2[ok]).all()
+
+
+def test_pallas_waterfall_matches_default():
+    """The fused Pallas waterfall (interpret mode on CPU) must agree with
+    the XLA waterfall within one quantization step on essentially every
+    cell (the only differences are explicit-bf16x3 vs f32 rounding at
+    quantization boundaries)."""
+    from rtlsdr_ft8d_tpu.ops.waterfall import waterfall as wf_xla
+    from rtlsdr_ft8d_tpu.ops.waterfall_pallas import waterfall_pallas
+
+    rng = np.random.default_rng(11)
+    batch = np.stack([synthesize_message(
+        "CQ K1JT FN20", f0_hz=300 + 100 * b, noise_sigma=0.3, rng=rng)
+        for b in range(3)])
+    i_s = jnp.asarray(np.real(batch).astype(np.float32))
+    q_s = jnp.asarray(np.imag(batch).astype(np.float32))
+    a = np.asarray(jax.jit(wf_xla)(i_s, q_s)).astype(int)
+    b = np.asarray(waterfall_pallas(i_s, q_s)).astype(int)
+    d = np.abs(a - b)
+    assert d.max() <= 1
+    assert (d == 0).mean() > 0.999
