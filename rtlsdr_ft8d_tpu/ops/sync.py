@@ -121,6 +121,16 @@ def sync_scores(wf: jax.Array) -> jax.Array:
     return jnp.sign(score) * q
 
 
+import os as _os
+
+# FT8_TPU_SYNC_PALLAS=1 selects the VMEM-resident Pallas scorer
+# (ops/sync_pallas.py, bit-identical); default is the XLA formulation.
+if _os.environ.get("FT8_TPU_SYNC_PALLAS") == "1":
+    from .sync_pallas import sync_scores_pallas as _scores_impl
+else:
+    _scores_impl = sync_scores
+
+
 CHUNK = 16   # freq-offset cells per first-stage chunk (100 Hz of band)
 CHUNK_K = 4  # survivors per chunk; >1 signal per 100 Hz chunk is rare
 
@@ -142,7 +152,7 @@ def find_sync(wf: jax.Array, num_candidates: int = K_MAX_CANDIDATES,
     100 Hz) chunk, which requires >CHUNK_K interleaved signals within 100 Hz
     at identical time alignment; `exact=True` forces the full sort.
     """
-    scores = sync_scores(wf)
+    scores = _scores_impl(wf)
     flat = scores.reshape(scores.shape[:-4] + (-1,))
     if exact:
         top, idx = jax.lax.top_k(flat, num_candidates)

@@ -171,3 +171,19 @@ def test_pallas_waterfall_matches_default():
     d = np.abs(a - b)
     assert d.max() <= 1
     assert (d == 0).mean() > 0.999
+
+
+def test_pallas_sync_scores_bit_exact():
+    """The Pallas sync scorer is the same integer algebra as sync_scores
+    and must match it bit-for-bit."""
+    from rtlsdr_ft8d_tpu.ops.sync_pallas import sync_scores_pallas
+
+    rng = np.random.default_rng(12)
+    batch = np.stack([synthesize_message(
+        "CQ K1JT FN20", f0_hz=300 + 77 * b, noise_sigma=0.4, rng=rng)
+        for b in range(2)])
+    i_s = jnp.asarray(np.real(batch).astype(np.float32))
+    q_s = jnp.asarray(np.imag(batch).astype(np.float32))
+    wf = jax.jit(waterfall)(i_s, q_s)
+    assert (np.asarray(sync_scores(wf))
+            == np.asarray(sync_scores_pallas(wf))).all()
