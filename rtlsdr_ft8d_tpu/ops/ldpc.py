@@ -116,15 +116,18 @@ _DEG_PARITY = np.where((_NM_VALID.sum(axis=1, keepdims=True) % 2)
                        .astype(bool), -1.0, 1.0).astype(np.float32)  # (83,1)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
+@functools.partial(jax.jit,
+                   static_argnames=("max_iters", "return_posterior"))
 def bp_decode_minsum(llr: jax.Array, max_iters: int = 20,
-                     alpha: float = 0.75):
+                     alpha: float = 0.75,
+                     return_posterior: bool = False):
     """Normalized min-sum variant of bp_decode.
 
     Check-node tanh/atanh products become sign products and exclusive mins
     (the classic hardware LDPC decoder); alpha=0.75 normalization keeps it
     within ~0.1 dB of sum-product on this code. Roughly halves the BP loop
-    cost. Same interface and best-iteration tracking as bp_decode.
+    cost. Same interface and best-iteration tracking as bp_decode
+    (return_posterior included — the deep-decode rungs require it).
     """
     batch_shape = llr.shape[:-1]
     llr2 = llr.reshape((-1, FT8_LDPC_N))
@@ -188,10 +191,14 @@ def bp_decode_minsum(llr: jax.Array, max_iters: int = 20,
         tov_new = jnp.dot(msg.reshape(N, _EDGES), edge2tov, **_MM)
         return tov_new, best_err, best_hard
 
-    _, best_err, best_hard = jax.lax.fori_loop(
+    tov_f, best_err, best_hard = jax.lax.fori_loop(
         0, max_iters, body, (tov0, best_err0, best_hard0))
-    return (best_hard.reshape(batch_shape + (FT8_LDPC_N,)),
-            best_err.reshape(batch_shape))
+    hard_out = best_hard.reshape(batch_shape + (FT8_LDPC_N,))
+    err_out = best_err.reshape(batch_shape)
+    if return_posterior:
+        post = llr2 + jnp.sum(tov_f.reshape(N, FT8_LDPC_N, 3), axis=-1)
+        return hard_out, err_out, post.reshape(batch_shape + (FT8_LDPC_N,))
+    return hard_out, err_out
 
 
 @functools.partial(jax.jit,
@@ -302,3 +309,20 @@ def crc_check(hard91: jax.Array) -> jax.Array:
     expect = (payload @ jnp.asarray(_CRC_MAT)) % 2
     got = hard91[..., 77:91].astype(jnp.int32)
     return jnp.all(expect == got, axis=-1)
+
+
+bp_decode_xla = bp_decode
+
+# FT8_TPU_BP_PALLAS=1 selects the single-kernel VMEM-resident Pallas
+# decoder (ops/ldpc_pallas.py). The knob lives HERE so every consumer
+# (pipeline, sharded dense path) resolves the same implementation.
+# FT8_TPU_EXACT=1 wins over it (the anchor's six-pass f32 GEMMs).
+if (_os.environ.get("FT8_TPU_BP_PALLAS") == "1"
+        and _os.environ.get("FT8_TPU_EXACT") == "1"):
+    import warnings
+
+    warnings.warn("FT8_TPU_BP_PALLAS ignored: FT8_TPU_EXACT=1 keeps the "
+                  "f32 XLA decoder")
+if (_os.environ.get("FT8_TPU_BP_PALLAS") == "1"
+        and _os.environ.get("FT8_TPU_EXACT") != "1"):
+    from .ldpc_pallas import bp_decode_pallas as bp_decode  # noqa: F811

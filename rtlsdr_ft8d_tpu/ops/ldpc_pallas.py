@@ -36,7 +36,7 @@ import numpy as np
 
 from ..protocol.constants import FT8_LDPC_M, FT8_LDPC_N
 from .ldpc import (_EDGES, _NM_VALID, _SEL_EDGE2TOV, _SEL_TOV2EDGE,
-                   _SEL_VAR2CHECK, _SEL_VAR2EDGE)
+                   _SEL_VAR2CHECK, _SEL_VAR2EDGE, _fast_atanh, _fast_tanh)
 
 BLOCK = 256                      # candidates per kernel instance
 
@@ -58,22 +58,8 @@ for n in range(FT8_LDPC_N):
 _EDGE_VALID_F = _NM_VALID.reshape(-1).astype(np.float32)
 
 
-def _fast_tanh(x):
-    x = jnp.clip(x, -4.97, 4.97)
-    x2 = x * x
-    return x * (945.0 + x2 * (105.0 + x2)) \
-        / (945.0 + x2 * (420.0 + 15.0 * x2))
-
-
-def _fast_atanh(x):
-    x2 = x * x
-    return x * (945.0 + x2 * (-735.0 + x2 * 64.0)) \
-        / (945.0 + x2 * (-1050.0 + x2 * 225.0))
-
-
 def _bp_kernel(llr_ref, v2e_ref, t2e_ref, e2t_ref, g_ref, sumt_ref,
-               v2c_ref, valid_ref, hard_ref, err_ref, post_ref, *,
-               max_iters):
+               v2c_ref, valid_ref, *out_refs, max_iters, with_posterior):
     llr = llr_ref[:]                                   # (BLOCK, 174)
     v2e = v2e_ref[:]                                   # (174, 581)
     t2e = t2e_ref[:]                                   # (522, 581)
@@ -123,9 +109,10 @@ def _bp_kernel(llr_ref, v2e_ref, t2e_ref, e2t_ref, g_ref, sumt_ref,
     tov_f, best_err, best_hard = jax.lax.fori_loop(
         0, max_iters, body, (tov0, err0, hard0))
 
-    hard_ref[:] = best_hard
-    err_ref[:] = best_err
-    post_ref[:] = llr + dot(tov_f, sumt)
+    out_refs[0][:] = best_hard
+    out_refs[1][:] = best_err
+    if with_posterior:
+        out_refs[2][:] = llr + dot(tov_f, sumt)
 
 
 @functools.partial(jax.jit,
@@ -149,32 +136,39 @@ def bp_decode_pallas(llr: jax.Array, max_iters: int = 20,
         llr2 = jnp.pad(llr2, ((0, pad), (0, 0)))
     nblk = llr2.shape[0] // BLOCK
 
-    kern = functools.partial(_bp_kernel, max_iters=max_iters)
+    kern = functools.partial(_bp_kernel, max_iters=max_iters,
+                             with_posterior=return_posterior)
     mats = (jnp.asarray(_SEL_VAR2EDGE), jnp.asarray(_SEL_TOV2EDGE),
             jnp.asarray(_SEL_EDGE2TOV), jnp.asarray(_G_EXCL),
             jnp.asarray(_SUM_TOV), jnp.asarray(_SEL_VAR2CHECK),
             jnp.asarray(_EDGE_VALID_F)[None, :])
     fixed = lambda i: (0, 0)
-    hard_f, err_f, post_f = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((BLOCK, FT8_LDPC_N), lambda i: (i, 0)),
+        pl.BlockSpec((BLOCK, 1), lambda i: (i, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((llr2.shape[0], FT8_LDPC_N), jnp.float32),
+        jax.ShapeDtypeStruct((llr2.shape[0], 1), jnp.float32),
+    ]
+    if return_posterior:
+        out_specs.append(pl.BlockSpec((BLOCK, FT8_LDPC_N),
+                                      lambda i: (i, 0)))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (llr2.shape[0], FT8_LDPC_N), jnp.float32))
+    outs = pl.pallas_call(
         kern,
         grid=(nblk,),
         in_specs=[pl.BlockSpec((BLOCK, FT8_LDPC_N), lambda i: (i, 0))]
         + [pl.BlockSpec(m.shape, fixed) for m in mats],
-        out_specs=[
-            pl.BlockSpec((BLOCK, FT8_LDPC_N), lambda i: (i, 0)),
-            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0)),
-            pl.BlockSpec((BLOCK, FT8_LDPC_N), lambda i: (i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((llr2.shape[0], FT8_LDPC_N), jnp.float32),
-            jax.ShapeDtypeStruct((llr2.shape[0], 1), jnp.float32),
-            jax.ShapeDtypeStruct((llr2.shape[0], FT8_LDPC_N), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(llr2, *mats)
 
+    hard_f, err_f = outs[0], outs[1]
     hard = hard_f[:n].astype(jnp.int8).reshape(batch_shape + (FT8_LDPC_N,))
     err = err_f[:n, 0].astype(jnp.int32).reshape(batch_shape)
     if return_posterior:
-        return hard, err, post_f[:n].reshape(batch_shape + (FT8_LDPC_N,))
+        return hard, err, outs[2][:n].reshape(batch_shape + (FT8_LDPC_N,))
     return hard, err

@@ -112,7 +112,7 @@ def _dft_mag2(i_frames, q_frames):
     return re * re + im * im
 
 
-def waterfall(i_samples: jax.Array, q_samples: jax.Array) -> jax.Array:
+def waterfall_xla(i_samples: jax.Array, q_samples: jax.Array) -> jax.Array:
     """Compute the quantized waterfall.
 
     Args:
@@ -132,3 +132,21 @@ def waterfall(i_samples: jax.Array, q_samples: jax.Array) -> jax.Array:
     q = q.reshape(shape)
     # -> [block][time_sub][freq_sub][bin]
     return jnp.swapaxes(q, -1, -2)
+
+
+# FT8_TPU_WF_PALLAS=1 selects the fused single-kernel Pallas waterfall
+# (ops/waterfall_pallas.py). The knob lives HERE so every consumer
+# (single-chip pipeline, sharded dense path, tests) resolves the same
+# implementation. FT8_TPU_EXACT=1 wins over it: the bit-exact parity
+# anchor must never be silently replaced by a bf16x3 kernel.
+if (_os.environ.get("FT8_TPU_WF_PALLAS") == "1"
+        and _os.environ.get("FT8_TPU_EXACT") == "1"):
+    import warnings
+
+    warnings.warn("FT8_TPU_WF_PALLAS ignored: FT8_TPU_EXACT=1 keeps the "
+                  "bit-exact XLA waterfall")
+if (_os.environ.get("FT8_TPU_WF_PALLAS") == "1"
+        and _os.environ.get("FT8_TPU_EXACT") != "1"):
+    from .waterfall_pallas import waterfall_pallas as waterfall
+else:
+    waterfall = waterfall_xla

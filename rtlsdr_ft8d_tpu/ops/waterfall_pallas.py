@@ -25,7 +25,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 from ..protocol.constants import (FREQ_OSR, NFFT, NUM_BIN, NUM_BLOCKS,
                                   SUB_BLOCK_SIZE, TIME_OSR)
@@ -33,7 +33,6 @@ from .waterfall import (_COS, _COS_MINUS_SIN, _SIN, NUM_BLOCKS_RAW,
                         NUM_FRAMES, NUM_SEGMENTS)
 
 _NBINS = NUM_BIN * FREQ_OSR          # 512
-_DB_SCALE = 20.0 / np.log(10.0)      # 2 * 10*log10 -> ln
 _POW_SCALE = 4.0 / (NFFT * NFFT)
 
 
@@ -74,8 +73,11 @@ def _wf_kernel(i_ref, q_ref, c_ref, s_ref, cms_ref, out_ref):
     re = p1 + p2
     im = p3 - p1 + p2
     mag2 = re * re + im * im
-    db2 = _DB_SCALE * jnp.log(1e-12 + mag2 * _POW_SCALE)
-    q = jnp.clip(jnp.trunc(db2 + 240.0), 0.0, 255.0)
+    # EXACTLY the XLA quantize sequence (ops/waterfall.py): db then
+    # trunc(2*db + 240) — not an algebraically-merged constant, so the
+    # only divergence source vs the default is GEMM rounding
+    db = 10.0 * jnp.log10(1e-12 + mag2 * _POW_SCALE)
+    q = jnp.clip(jnp.trunc(2.0 * db + 240.0), 0.0, 255.0)
     out_ref[0, :, :] = q.astype(jnp.uint8)
 
 

@@ -25,24 +25,15 @@ from .ops.ldpc import bp_decode as _bp_sum_product
 from .ops.ldpc import bp_decode_minsum, crc_check
 
 # FT8_TPU_MINSUM=1 selects normalized min-sum BP (~2x cheaper check-node
-# updates, within ~0.1 dB of sum-product); FT8_TPU_BP_PALLAS=1 selects the
-# single-kernel VMEM-resident Pallas decoder (ops/ldpc_pallas.py); default
-# is the XLA sum-product rule matching ft8_lib's bp_decode.
-if _os.environ.get("FT8_TPU_BP_PALLAS") == "1":
-    from .ops.ldpc_pallas import bp_decode_pallas as bp_decode
-elif _os.environ.get("FT8_TPU_MINSUM") == "1":
-    bp_decode = bp_decode_minsum
-else:
-    bp_decode = _bp_sum_product
+# updates, within ~0.1 dB of sum-product); default is the sum-product rule
+# matching ft8_lib's bp_decode (which ops/ldpc.py may itself resolve to
+# the Pallas kernel under FT8_TPU_BP_PALLAS=1 — the knob lives at the ops
+# layer so every path, incl. the sharded dense one, selects consistently).
+bp_decode = (bp_decode_minsum if _os.environ.get("FT8_TPU_MINSUM") == "1"
+             else _bp_sum_product)
 from .ops.llr import estimate_snr, extract_llrs
 from .ops.sync import find_sync
-
-# FT8_TPU_WF_PALLAS=1 selects the fused single-kernel waterfall
-# (ops/waterfall_pallas.py); default is the XLA formulation.
-if _os.environ.get("FT8_TPU_WF_PALLAS") == "1":
-    from .ops.waterfall_pallas import waterfall_pallas as waterfall
-else:
-    from .ops.waterfall import waterfall
+from .ops.waterfall import waterfall
 from .protocol.constants import (FT8_LDPC_K, K_LDPC_ITERS, K_MAX_CANDIDATES,
                                  K_MAX_MESSAGES, K_MIN_SCORE, TONE_SPACING_HZ)
 from .protocol.text import CallsignHashTable
