@@ -13,7 +13,6 @@ import numpy as np
 
 
 def main():
-    import jax
     import jax.numpy as jnp
 
     from rtlsdr_ft8d_tpu.host.cache import enable_compilation_cache
