@@ -1,5 +1,6 @@
 """Cross-check vectorized TPU kernels against the naive loop reference."""
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -187,3 +188,23 @@ def test_pallas_sync_scores_bit_exact():
     wf = jax.jit(waterfall)(i_s, q_s)
     assert (np.asarray(sync_scores(wf))
             == np.asarray(sync_scores_pallas(wf))).all()
+
+
+def test_exact_wins_over_pallas_knobs():
+    """FT8_TPU_EXACT=1 must keep the XLA anchor implementations even when
+    the Pallas knobs are set (env is read at import, so subprocess)."""
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import rtlsdr_ft8d_tpu.ops.waterfall as W\n"
+        "import rtlsdr_ft8d_tpu.ops.ldpc as L\n"
+        "assert W.waterfall is W.waterfall_xla, 'waterfall not anchored'\n"
+        "assert L.bp_decode is L.bp_decode_xla, 'bp not anchored'\n"
+        "print('anchored')\n")
+    env = dict(os.environ, FT8_TPU_EXACT="1", FT8_TPU_WF_PALLAS="1",
+               FT8_TPU_BP_PALLAS="1", JAX_PLATFORMS="cpu",
+               PALLAS_AXON_POOL_IPS="")
+    out = subprocess.run([_sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=240)
+    assert "anchored" in out.stdout, (out.stdout, out.stderr)
