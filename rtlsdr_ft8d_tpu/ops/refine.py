@@ -91,11 +91,17 @@ def refine_llrs_flat(i_samples: jax.Array, q_samples: jax.Array,
     Returns:
       (llrs, best_score): (N, 174) float32 refined normalized LLRs and
       (N,) float32 best-variant Costas power (linear units). With
-      return_pair=True, a third element: PAIR-COHERENT LLRs — adjacent
-      data symbols combined coherently (the residual-CFO inter-symbol
-      rotation estimated from the Costas pairs), the multi-symbol
-      combining WSJT-X uses for its deepest passes. ~0.5-1 dB sharper
-      than the noncoherent LLRs on-grid.
+      return_pair=True, two more elements: (3rd) PAIR/TRIPLE-COHERENT
+      LLRs — adjacent data symbols combined coherently (the residual-CFO
+      inter-symbol rotation estimated from the Costas pairs), the
+      multi-symbol combining WSJT-X uses for its deepest passes, ~0.5-1
+      dB sharper than the noncoherent LLRs on-grid; and (4th)
+      BLOCK-COHERENT LLRs — every data symbol scored fully coherently
+      against a carrier-phase reference interpolated between the three
+      Costas-block anchors (_block_coherent_llrs). Weaker alone than the
+      triple flavor but decodes a DIFFERENT subset at the threshold
+      (union +2..4/48 at -21.0..-21.5 dB, scripts/coherent_ab.py), so
+      the deep ladder runs BP on both.
     """
     ts = cand_flat["time_sub"].astype(jnp.int32)
     fs = cand_flat["freq_sub"].astype(jnp.int32)
@@ -221,10 +227,13 @@ def refine_llrs_flat(i_samples: jax.Array, q_samples: jax.Array,
     logl_pair = _pair_coherent_llrs(zr, zi, valid_b)
     # symbols without a valid pair partner fall back to the noncoherent
     # estimate (both normalized to the same sigma^2 first)
-    has = jnp.isfinite(logl_pair)
-    blended = jnp.where(has, _normalize(jnp.where(has, logl_pair, 0.0)),
-                        _normalize(logl))
-    return _normalize(logl), best_score, blended
+    def _blend(ll):
+        has = jnp.isfinite(ll)
+        return jnp.where(has, _normalize(jnp.where(has, ll, 0.0)),
+                         _normalize(logl))
+    logl_coh = _block_coherent_llrs(zr, zi, valid_b)
+    return _normalize(logl), best_score, _blend(logl_pair), \
+        _blend(logl_coh)
 
 
 def _pair_coherent_llrs(zr, zi, valid):
@@ -321,6 +330,91 @@ def _pair_coherent_llrs(zr, zi, valid):
 
     # triple where available, else pair, else NaN (caller blends noncoh)
     return jnp.where(jnp.isfinite(llr_tri), llr_tri, llr_pair)
+
+
+def _block_coherent_llrs(zr, zi, valid):
+    """174 bit LLRs from FULLY-COHERENT per-symbol demodulation.
+
+    Beyond the nsym=3 triple flavor: derotate every symbol's tone
+    responses by the Costas-pair residual-CFO estimate (the same
+    statistic _pair_coherent_llrs uses), coherently sum each Costas
+    block's 7 known-tone responses into an absolute carrier-phase
+    anchor (k = 3 / 39 / 75), interpolate the anchor phasors linearly
+    in the complex domain across each 29-symbol data run, and score
+    each data symbol value as Re(z~_k(a) conj(ref_k)) — the classic
+    coherent metric, O(58*8) per candidate vs the triple's 54*512
+    joint-hypothesis tensor. (A grid search for the rotation that
+    maximizes total coherent Costas power measured WORSE than the
+    pair-product estimate — it overfits noise at the depths where the
+    flavor matters; see scripts/coherent_ab.py.)
+
+    Alone it trails the triple flavor by ~1 dB of decode count, but it
+    errs on DIFFERENT trials, so BP-on-both unions +2..4/48 decodes at
+    -21.0..-21.5 dB. Bits of symbols without both neighboring anchors
+    (or outside the validity window) return NaN — the caller blends
+    those with the noncoherent estimate.
+    """
+    c_sp1 = jnp.asarray(_SP1)
+    c_sp2 = jnp.asarray(_SP2)
+    z1r = zr[:, c_sp1, jnp.asarray(_SP1_TONE)]
+    z1i = zi[:, c_sp1, jnp.asarray(_SP1_TONE)]
+    z2r = zr[:, c_sp2, jnp.asarray(_SP2_TONE)]
+    z2i = zi[:, c_sp2, jnp.asarray(_SP2_TONE)]
+    pr = jnp.sum(z2r * z1r + z2i * z1i, axis=1)
+    pi_ = jnp.sum(z2i * z1r - z2r * z1i, axis=1)
+    theta = jnp.arctan2(pi_, pr)                              # (N,)
+
+    # derotate symbol k by e^{-j k theta}
+    k = jnp.arange(FT8_NN, dtype=jnp.float32)
+    ck = jnp.cos(theta[:, None] * k[None, :])                 # (N, 79)
+    sk = jnp.sin(theta[:, None] * k[None, :])
+    ztr = zr * ck[..., None] + zi * sk[..., None]
+    zti = zi * ck[..., None] - zr * sk[..., None]
+
+    # Costas anchors: coherent sum of each block's 7 known-tone responses
+    ssym = _SYNC_SYM.reshape(3, 7)
+    stone = _SYNC_TONE.reshape(3, 7)
+    ar, ai, a_ok = [], [], []
+    for b in range(3):
+        sb = jnp.asarray(ssym[b])
+        w = valid[:, sb].astype(jnp.float32)                  # (N, 7)
+        ar.append(jnp.sum(ztr[:, sb, jnp.asarray(stone[b])] * w, axis=1))
+        ai.append(jnp.sum(zti[:, sb, jnp.asarray(stone[b])] * w, axis=1))
+        a_ok.append(jnp.sum(w, axis=1) > 0)
+    ar = jnp.stack(ar, axis=1)                                # (N, 3)
+    ai = jnp.stack(ai, axis=1)
+    a_ok = jnp.stack(a_ok, axis=1)                            # (N, 3)
+
+    # per-data-symbol phase reference: complex interpolation between the
+    # two flanking anchors (centers k = 3, 39, 75; every data symbol
+    # lies between two of them)
+    dsym = np.asarray(_DATA_SYM)
+    centers = np.array([3.0, 39.0, 75.0])
+    lo = np.where(dsym < 39, 0, 1)
+    w = ((dsym - centers[lo]) / 36.0).astype(np.float32)      # (58,)
+    lo_j = jnp.asarray(lo)
+    w_j = jnp.asarray(w)
+    rr = ar[:, lo_j] * (1 - w_j)[None, :] + ar[:, lo_j + 1] * w_j[None, :]
+    ri = ai[:, lo_j] * (1 - w_j)[None, :] + ai[:, lo_j + 1] * w_j[None, :]
+    nrm = jnp.maximum(jnp.sqrt(rr * rr + ri * ri), 1e-12)
+    rr, ri = rr / nrm, ri / nrm                               # (N, 58)
+
+    g = jnp.asarray(GRAY_MAP.astype(np.int32))
+    dsym_j = jnp.asarray(dsym)
+    zd_r = ztr[:, dsym_j, :][..., g]                          # (N, 58, 8)
+    zd_i = zti[:, dsym_j, :][..., g]
+    score = zd_r * rr[..., None] + zd_i * ri[..., None]       # Re(z conj ref)
+
+    set_mask = jnp.asarray(_BIT_SET)
+    neg = jnp.float32(-1e30)
+    s2e = score[..., None, :]
+    max_set = jnp.max(jnp.where(set_mask, s2e, neg), axis=-1)
+    max_clr = jnp.max(jnp.where(set_mask, neg, s2e), axis=-1)
+    N = zr.shape[0]
+    logl = (max_set - max_clr).reshape(N, FT8_LDPC_N)
+    sym_ok = valid[:, dsym_j] & a_ok[:, lo_j] & a_ok[:, lo_j + 1]
+    has = jnp.repeat(sym_ok, 3, axis=-1)                      # (N, 174)
+    return jnp.where(has, logl, jnp.nan)
 
 
 def refine_llrs(i_samples: jax.Array, q_samples: jax.Array, cand_sel: dict):

@@ -149,7 +149,7 @@ def decode_window_dense(i_samples, q_samples, mesh: Mesh,
             cand_sel = {kk: cand[kk].reshape(-1)[sel_f] for kk in
                         ("time_sub", "freq_sub", "time_offset",
                          "freq_offset")}
-            llr_ref, _s, llr_pair = refine_llrs_flat(
+            llr_ref, _s, llr_pair, llr_coh = refine_llrs_flat(
                 i_loc, q_loc, cand_sel, chan_f, return_pair=True)
             was_failed = failed.reshape(-1)[sel_f]
             score_sel = scores.reshape(-1)[sel_f]
@@ -158,7 +158,7 @@ def decode_window_dense(i_samples, q_samples, mesh: Mesh,
                        if ap_clamp_signs is not None else [])
             hard_r, ok_r, post_p = deep_rungs(
                 llr_ref, llr_pair, was_failed, score_sel, ap_rows,
-                ap_cw_signs, ldpc_iters)
+                ap_cw_signs, ldpc_iters, llr_coh=llr_coh)
             hard_flat = hard.reshape(b_loc * K, -1)
             hard = hard_flat.at[sel_f].set(
                 jnp.where(ok_r[:, None], hard_r, hard_flat[sel_f])) \

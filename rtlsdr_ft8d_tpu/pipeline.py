@@ -98,16 +98,19 @@ def ap_prefix_for_call(call: str) -> np.ndarray | None:
 
 
 def deep_rungs(llr_ref, llr_pair, was_failed, score_sel, ap_rows,
-               ap_cw_signs, ldpc_iters):
+               ap_cw_signs, ldpc_iters, llr_coh=None):
     """The deep-decode rung ladder on a FLAT refined candidate selection,
     shared by the single-chip graph and the sharded dense path
     (parallel/dense.py): BP on the noncoherent refined LLRs, BP on the
     pair/triple-coherent LLRs (ops/refine.py — WSJT-X's multi-symbol
-    combining, measured 24/32 vs 10/32 decodes at -20 dB), AP clamp
-    hypotheses on both flavors, and the continuation codeword bank
-    scored against both (the coherent null is no wider than the
-    noncoherent one: max 0.470/0.372 over 4.1M noise trials vs the
-    0.58/0.55 gate). Every acceptance is CRC-14-gated and restricted to
+    combining, measured 24/32 vs 10/32 decodes at -20 dB), BP on the
+    BLOCK-COHERENT LLRs (Costas-anchored fully-coherent demodulation —
+    weaker alone but decodes a DIFFERENT subset: union +2..4/48 at
+    -21.0..-21.5 dB, scripts/coherent_ab.py), AP clamp hypotheses on
+    the first two flavors, and the continuation codeword bank scored
+    against both (the coherent null is no wider than the noncoherent
+    one: max 0.470/0.372 over 4.1M noise trials vs the 0.58/0.55
+    gate). Every acceptance is CRC-14-gated and restricted to
     candidates that genuinely failed the main pass.
 
     Returns (hard_r, ok_r, post_r): merged hard bits, accept mask, and
@@ -123,6 +126,11 @@ def deep_rungs(llr_ref, llr_pair, was_failed, score_sel, ap_rows,
     ok_p = (err_p == 0) & crc_check(hard_p) & was_failed & ~ok_r
     hard_r = jnp.where(ok_p[:, None], hard_p, hard_r)
     ok_r = ok_r | ok_p
+    if llr_coh is not None:
+        hard_b, err_b = bp_decode(llr_coh, ldpc_iters)
+        ok_b = (err_b == 0) & crc_check(hard_b) & was_failed & ~ok_r
+        hard_r = jnp.where(ok_b[:, None], hard_b, hard_r)
+        ok_r = ok_r | ok_b
     for signs in ap_rows:
         mask_c = signs != 0.0
         clamp_c = signs * jnp.float32(AP_CLAMP_MAG)
@@ -322,13 +330,13 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
         chan_f = sel_f // K
         cand_sel = {k: cand[k].reshape(-1)[sel_f] for k in
                     ("time_sub", "freq_sub", "time_offset", "freq_offset")}
-        llr_ref, _ref_score, llr_pair = refine_llrs_flat(
+        llr_ref, _ref_score, llr_pair, llr_coh = refine_llrs_flat(
             i_samples, q_samples, cand_sel, chan_f, return_pair=True)
         was_failed = failed.reshape(-1)[sel_f]
         score_sel = cand["score"].reshape(-1)[sel_f]
         hard_r, ok_r, post_r = deep_rungs(
             llr_ref, llr_pair, was_failed, score_sel, ap_rows,
-            ap_cw_signs, ldpc_iters)
+            ap_cw_signs, ldpc_iters, llr_coh=llr_coh)
         hard_flat = hard.reshape(B * K, -1)
         hard = hard_flat.at[sel_f].set(
             jnp.where(ok_r[:, None], hard_r, hard_flat[sel_f])) \

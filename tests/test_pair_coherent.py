@@ -68,7 +68,7 @@ def test_pair_coherent_decodes_deeper():
         noise_sigma=_sigma(-20.0),
         rng=np.random.default_rng(hash((-20.0, t, 7)) % (1 << 31)))
         for t in range(T)]
-    llr_n, _score, llr_p = _llrs_for(np.stack(chans))
+    llr_n, _score, llr_p, _llr_c = _llrs_for(np.stack(chans))
     n_noncoh = _decode_count(llr_n)
     n_pair = _decode_count(llr_p)
     assert n_pair > n_noncoh, (n_pair, n_noncoh)
@@ -81,7 +81,7 @@ def test_pair_coherent_agrees_at_high_snr():
     chans = [synthesize_message(
         MSG, f0_hz=300 + 100 * t, noise_sigma=_sigma(-12.0),
         rng=np.random.default_rng(t)) for t in range(T)]
-    llr_n, _score, llr_p = _llrs_for(np.stack(chans))
+    llr_n, _score, llr_p, _llr_c = _llrs_for(np.stack(chans))
     assert _decode_count(llr_n) == T
     assert _decode_count(llr_p) == T
     assert bool(np.isfinite(np.asarray(llr_p)).all())
@@ -106,6 +106,47 @@ def test_pair_coherent_pure_noise_zero():
     rng = np.random.default_rng(77)
     noise = (rng.normal(0, 1.0, (64, 48000))
              + 1j * rng.normal(0, 1.0, (64, 48000))).astype(np.complex64)
-    llr_n, _score, llr_p = _llrs_for(noise)
+    llr_n, _score, llr_p, llr_c = _llrs_for(noise)
     assert _decode_count(llr_p) == 0
     assert _decode_count(llr_n) == 0
+    assert _decode_count(llr_c) == 0
+
+
+def test_block_coherent_unions_past_triple():
+    """The block-coherent rung decodes trials the triple flavor misses
+    at -21 dB (the whole point of running BP on both flavors); both
+    flavors are finite and agree at high SNR."""
+    T = 24
+    chans = [synthesize_message(
+        MSG, f0_hz=250 + 40 * t + 6.25 * ((t % 5) / 5),
+        noise_sigma=_sigma(-21.0),
+        rng=np.random.default_rng(hash((-21.0, t, 11)) % (1 << 31)))
+        for t in range(T)]
+    llr_n, _score, llr_p, llr_c = _llrs_for(np.stack(chans))
+    hard_p, err_p = bp_decode(llr_p, 20)
+    hard_c, err_c = bp_decode(llr_c, 20)
+    okp = np.asarray((err_p == 0) & crc_check(hard_p))
+    okc = np.asarray((err_c == 0) & crc_check(hard_c))
+    mp = np.zeros(T, bool)
+    mc = np.zeros(T, bool)
+    for t in range(T):
+        for ok, hard, m in ((okp, hard_p, mp), (okc, hard_c, mc)):
+            if ok[t]:
+                try:
+                    m[t] = unpack77(np.asarray(hard[t][:77])
+                                    .astype(np.uint8)) == MSG
+                except Exception:
+                    pass
+    assert (mc & ~mp).sum() >= 1, (mp.sum(), mc.sum())
+    assert (mp | mc).sum() > mp.sum(), (mp.sum(), mc.sum())
+
+
+def test_block_coherent_agrees_at_high_snr():
+    """Strong signals: the block-coherent flavor decodes every channel."""
+    T = 8
+    chans = [synthesize_message(
+        MSG, f0_hz=300 + 100 * t, noise_sigma=_sigma(-12.0),
+        rng=np.random.default_rng(t)) for t in range(T)]
+    _llr_n, _score, _llr_p, llr_c = _llrs_for(np.stack(chans))
+    assert _decode_count(llr_c) == T
+    assert bool(np.isfinite(np.asarray(llr_c)).all())
