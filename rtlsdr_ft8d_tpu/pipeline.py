@@ -131,10 +131,15 @@ def deep_rungs(llr_ref, llr_pair, was_failed, score_sel, ap_rows,
         ok_b = (err_b == 0) & crc_check(hard_b) & was_failed & ~ok_r
         hard_r = jnp.where(ok_b[:, None], hard_b, hard_r)
         ok_r = ok_r | ok_b
+    # AP clamps run on all three flavors: the coherent flavor's clamps
+    # union +1..3/48 decodes at -21.5..-22.5 dB on AP-eligible traffic
+    # over the first two (scripts/ap_coh_ab.py).
+    ap_bases = (llr_pair, llr_ref) if llr_coh is None \
+        else (llr_pair, llr_coh, llr_ref)
     for signs in ap_rows:
         mask_c = signs != 0.0
         clamp_c = signs * jnp.float32(AP_CLAMP_MAG)
-        for llr_base in (llr_pair, llr_ref):
+        for llr_base in ap_bases:
             llr_c = llr_base.at[..., :77].set(
                 jnp.where(mask_c, clamp_c, llr_base[..., :77]))
             hard_c, err_c = bp_decode(llr_c, ldpc_iters)
