@@ -156,7 +156,7 @@ def decode_window_dense(i_samples, q_samples, mesh: Mesh,
             ap_rows = ([ap_clamp_signs[h]
                         for h in range(ap_clamp_signs.shape[0])]
                        if ap_clamp_signs is not None else [])
-            hard_r, ok_r, post_p = deep_rungs(
+            hard_r, ok_r, post_p, post_c = deep_rungs(
                 llr_ref, llr_pair, was_failed, score_sel, ap_rows,
                 ap_cw_signs, ldpc_iters, llr_coh=llr_coh)
             hard_flat = hard.reshape(b_loc * K, -1)
@@ -174,6 +174,7 @@ def decode_window_dense(i_samples, q_samples, mesh: Mesh,
                 shard = shard * mesh.shape[ax] + jax.lax.axis_index(ax)
             out_extra = {
                 "osd_post": post_p,
+                "osd_post_coh": post_c,
                 "osd_valid": was_failed & ~ok_r,
                 "osd_chan": (chan_f + shard * b_loc).astype(jnp.int32),
                 "osd_score": scores.reshape(-1)[sel_f].astype(jnp.int32),

@@ -113,9 +113,13 @@ def deep_rungs(llr_ref, llr_pair, was_failed, score_sel, ap_rows,
     gate). Every acceptance is CRC-14-gated and restricted to
     candidates that genuinely failed the main pass.
 
-    Returns (hard_r, ok_r, post_r): merged hard bits, accept mask, and
-    the COHERENT BP posteriors for host OSD (measured strictly better
-    than the noncoherent ones: 19 vs 4 recoveries at -20.5 dB)."""
+    Returns (hard_r, ok_r, post_r, post_c): merged hard bits, accept
+    mask, and the BP posteriors of the triple-coherent and the
+    block-coherent flavors for host OSD (triple posteriors measured
+    strictly better than the noncoherent ones — 19 vs 4 recoveries at
+    -20.5 dB; a second OSD attempt on the block-coherent posteriors
+    recovers +1..2/48 more at -21..-22 dB, scripts/osd_coh_ab.py).
+    post_c is None when llr_coh is None."""
     from .ops.ap import (AP_CLAMP_MAG, AP_CW_MIN_SCORE, AP_CW_THRESH,
                          AP_CW_THRESH_SYNCED)
 
@@ -126,8 +130,10 @@ def deep_rungs(llr_ref, llr_pair, was_failed, score_sel, ap_rows,
     ok_p = (err_p == 0) & crc_check(hard_p) & was_failed & ~ok_r
     hard_r = jnp.where(ok_p[:, None], hard_p, hard_r)
     ok_r = ok_r | ok_p
+    post_c = None
     if llr_coh is not None:
-        hard_b, err_b = bp_decode(llr_coh, ldpc_iters)
+        hard_b, err_b, post_c = bp_decode(llr_coh, ldpc_iters,
+                                          return_posterior=True)
         ok_b = (err_b == 0) & crc_check(hard_b) & was_failed & ~ok_r
         hard_r = jnp.where(ok_b[:, None], hard_b, hard_r)
         ok_r = ok_r | ok_b
@@ -162,7 +168,7 @@ def deep_rungs(llr_ref, llr_pair, was_failed, score_sel, ap_rows,
                 (jnp.take(ap_cw_signs, best_r, axis=0) > 0)
                 .astype(hard_r.dtype), hard_r)
             ok_r = ok_r | ok_cw_r
-    return hard_r, ok_r, post_r
+    return hard_r, ok_r, post_r, post_c
 
 
 @functools.partial(jax.jit,
@@ -339,7 +345,7 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
             i_samples, q_samples, cand_sel, chan_f, return_pair=True)
         was_failed = failed.reshape(-1)[sel_f]
         score_sel = cand["score"].reshape(-1)[sel_f]
-        hard_r, ok_r, post_r = deep_rungs(
+        hard_r, ok_r, post_r, post_c = deep_rungs(
             llr_ref, llr_pair, was_failed, score_sel, ap_rows,
             ap_cw_signs, ldpc_iters, llr_coh=llr_coh)
         hard_flat = hard.reshape(B * K, -1)
@@ -356,6 +362,7 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
 
     if osd_cands > 0:
         out["osd_post"] = post_r                       # (n_osd, 174)
+        out["osd_post_coh"] = post_c                   # (n_osd, 174)
         out["osd_valid"] = was_failed & ~ok_r          # (n_osd,)
         out["osd_chan"] = chan_f.astype(jnp.int32)
         out["osd_score"] = cand["score"].reshape(-1)[sel_f] \
@@ -442,6 +449,18 @@ def _merge_osd_decodes(out, results, sub_params, hashes):
     post = np.asarray(out["osd_post"])[n_idx]
     chan = np.asarray(out["osd_chan"])
     msgs, accept = osd_batch(post)
+    # second attempt on the block-coherent posteriors for the rows the
+    # triple-flavor attempt rejected (+1..2/48 recoveries at -21..-22 dB,
+    # scripts/osd_coh_ab.py); incremental host cost is proportional to
+    # the reject count only
+    post_c = out.get("osd_post_coh")
+    if post_c is not None:
+        rej = np.nonzero(~accept)[0]
+        if rej.size:
+            msgs2, accept2 = osd_batch(np.asarray(post_c)[n_idx][rej])
+            hit = np.nonzero(accept2)[0]
+            msgs[rej[hit]] = msgs2[hit]
+            accept[rej[hit]] = True
     per_row = isinstance(hashes, (list, tuple))
     n_recovered = 0
     for j, n in enumerate(n_idx):
