@@ -224,19 +224,39 @@ def refine_llrs_flat(i_samples: jax.Array, q_samples: jax.Array,
         sym_valid, dt_best[:, None, None], axis=1)[:, 0, :]  # (N, 79)
     zr = zr * valid_b[..., None]
     zi = zi * valid_b[..., None]
-    logl_pair = _pair_coherent_llrs(zr, zi, valid_b)
+    cth, sth, theta = _costas_rotation(zr, zi)
+    logl_pair = _pair_coherent_llrs(zr, zi, valid_b, cth, sth)
     # symbols without a valid pair partner fall back to the noncoherent
     # estimate (both normalized to the same sigma^2 first)
     def _blend(ll):
         has = jnp.isfinite(ll)
         return jnp.where(has, _normalize(jnp.where(has, ll, 0.0)),
                          _normalize(logl))
-    logl_coh = _block_coherent_llrs(zr, zi, valid_b)
+    logl_coh = _block_coherent_llrs(zr, zi, valid_b, theta)
     return _normalize(logl), best_score, _blend(logl_pair), \
         _blend(logl_coh)
 
 
-def _pair_coherent_llrs(zr, zi, valid):
+def _costas_rotation(zr, zi):
+    """Per-symbol residual-CFO rotation from the 18 consecutive Costas
+    pairs (the same consecutive-gain-product statistic ops/subtract.py
+    uses, CFO-immune by construction): the phase of
+    sum z_{i+1}(c_{i+1}) conj(z_i(c_i)). Returns (cos, sin) of the
+    rotation shaped (N, 1, 1) for broadcasting, and the angle itself."""
+    c_sp1 = jnp.asarray(_SP1)
+    c_sp2 = jnp.asarray(_SP2)
+    z1r = zr[:, c_sp1, jnp.asarray(_SP1_TONE)]              # (N, 18)
+    z1i = zi[:, c_sp1, jnp.asarray(_SP1_TONE)]
+    z2r = zr[:, c_sp2, jnp.asarray(_SP2_TONE)]
+    z2i = zi[:, c_sp2, jnp.asarray(_SP2_TONE)]
+    pr = jnp.sum(z2r * z1r + z2i * z1i, axis=1)             # Re(z2 conj z1)
+    pi_ = jnp.sum(z2i * z1r - z2r * z1i, axis=1)            # Im(z2 conj z1)
+    nrm = jnp.maximum(jnp.sqrt(pr * pr + pi_ * pi_), 1e-12)
+    return (pr / nrm)[:, None, None], (pi_ / nrm)[:, None, None], \
+        jnp.arctan2(pi_, pr)
+
+
+def _pair_coherent_llrs(zr, zi, valid, cth, sth):
     """174 bit LLRs from coherent sums over adjacent data symbols.
 
     FT8's tone spacing times its symbol time is exactly one cycle, so
@@ -252,20 +272,9 @@ def _pair_coherent_llrs(zr, zi, valid):
     fallback where a triple doesn't fit the validity window. Per-symbol
     value scores average the (log-domain) metrics each symbol
     participates in. Bits of symbols with no valid estimate return NaN
-    (caller blends with the noncoherent LLRs).
+    (caller blends with the noncoherent LLRs). cth/sth are the
+    _costas_rotation cos/sin, shaped (N, 1, 1).
     """
-    c_sp1 = jnp.asarray(_SP1)
-    c_sp2 = jnp.asarray(_SP2)
-    z1r = zr[:, c_sp1, jnp.asarray(_SP1_TONE)]              # (N, 18)
-    z1i = zi[:, c_sp1, jnp.asarray(_SP1_TONE)]
-    z2r = zr[:, c_sp2, jnp.asarray(_SP2_TONE)]
-    z2i = zi[:, c_sp2, jnp.asarray(_SP2_TONE)]
-    pr = jnp.sum(z2r * z1r + z2i * z1i, axis=1)             # Re(z2 conj z1)
-    pi = jnp.sum(z2i * z1r - z2r * z1i, axis=1)             # Im(z2 conj z1)
-    nrm = jnp.maximum(jnp.sqrt(pr * pr + pi * pi), 1e-12)
-    cth = (pr / nrm)[:, None, None]
-    sth = (pi / nrm)[:, None, None]
-
     dsym = jnp.asarray(_DATA_SYM)
     g = jnp.asarray(GRAY_MAP.astype(np.int32))
     # Gray-reorder once: column j = response on the tone of symbol value j
@@ -332,7 +341,7 @@ def _pair_coherent_llrs(zr, zi, valid):
     return jnp.where(jnp.isfinite(llr_tri), llr_tri, llr_pair)
 
 
-def _block_coherent_llrs(zr, zi, valid):
+def _block_coherent_llrs(zr, zi, valid, theta):
     """174 bit LLRs from FULLY-COHERENT per-symbol demodulation.
 
     Beyond the nsym=3 triple flavor: derotate every symbol's tone
@@ -352,18 +361,9 @@ def _block_coherent_llrs(zr, zi, valid):
     errs on DIFFERENT trials, so BP-on-both unions +2..4/48 decodes at
     -21.0..-21.5 dB. Bits of symbols without both neighboring anchors
     (or outside the validity window) return NaN — the caller blends
-    those with the noncoherent estimate.
+    those with the noncoherent estimate. theta is the (N,)
+    _costas_rotation angle.
     """
-    c_sp1 = jnp.asarray(_SP1)
-    c_sp2 = jnp.asarray(_SP2)
-    z1r = zr[:, c_sp1, jnp.asarray(_SP1_TONE)]
-    z1i = zi[:, c_sp1, jnp.asarray(_SP1_TONE)]
-    z2r = zr[:, c_sp2, jnp.asarray(_SP2_TONE)]
-    z2i = zi[:, c_sp2, jnp.asarray(_SP2_TONE)]
-    pr = jnp.sum(z2r * z1r + z2i * z1i, axis=1)
-    pi_ = jnp.sum(z2i * z1r - z2r * z1i, axis=1)
-    theta = jnp.arctan2(pi_, pr)                              # (N,)
-
     # derotate symbol k by e^{-j k theta}
     k = jnp.arange(FT8_NN, dtype=jnp.float32)
     ck = jnp.cos(theta[:, None] * k[None, :])                 # (N, 79)

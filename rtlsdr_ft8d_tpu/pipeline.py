@@ -107,11 +107,14 @@ def deep_rungs(llr_ref, llr_pair, was_failed, score_sel, ap_rows,
     BLOCK-COHERENT LLRs (Costas-anchored fully-coherent demodulation —
     weaker alone but decodes a DIFFERENT subset: union +2..4/48 at
     -21.0..-21.5 dB, scripts/coherent_ab.py), AP clamp hypotheses on
-    the first two flavors, and the continuation codeword bank scored
-    against both (the coherent null is no wider than the noncoherent
-    one: max 0.470/0.372 over 4.1M noise trials vs the 0.58/0.55
-    gate). Every acceptance is CRC-14-gated and restricted to
-    candidates that genuinely failed the main pass.
+    ALL THREE flavors (the block-coherent clamps union +1..3/48 more,
+    scripts/ap_coh_ab.py), and the continuation codeword bank scored
+    against the noncoherent and triple flavors (their nulls: max
+    0.470/0.372 over 4.1M noise trials vs the 0.58/0.55 gate; the
+    block-coherent flavor's bank null is also safe but it added ZERO
+    decodes — scripts/bank_coh_null.py — so it is not scored). Every
+    acceptance is CRC-14-gated and restricted to candidates that
+    genuinely failed the main pass.
 
     Returns (hard_r, ok_r, post_r, post_c): merged hard bits, accept
     mask, and the BP posteriors of the triple-coherent and the

@@ -11,6 +11,11 @@ AP_CW_THRESH_SYNCED for the first two flavors (ops/ap.py):
   3. gain: continuation-message decodes via the bank on the coherent
      flavor that the existing two flavors miss, at -22..-23 dB.
 
+Measured (2026-08-18): nulls safe (noise max 0.458 / 0.330 synced over
+1.0M trials; wrong-hypothesis 0.493 — all below the 0.55 gate) but the
+gain was ZERO at every depth, so the bank is deliberately NOT scored
+against the coherent flavor (pipeline.deep_rungs).
+
 Usage: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python3 scripts/bank_coh_null.py
 """
 
@@ -18,44 +23,28 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-import jax.numpy as jnp
 import numpy as np
+
+from scripts.ab_common import prep, sigma_for_snr
 
 from rtlsdr_ft8d_tpu.host.synth import synthesize_message
 from rtlsdr_ft8d_tpu.ops.ap import codeword_signs, continuation_texts
 from rtlsdr_ft8d_tpu.ops.refine import refine_llrs_flat
-from rtlsdr_ft8d_tpu.ops.sync import find_sync
-from rtlsdr_ft8d_tpu.ops.waterfall import waterfall
 
 BANK_TEXTS = (continuation_texts("K1ABC", "W9XYZ", grid="EN37")
               + continuation_texts("W9XYZ", "K1ABC"))
 BANK = codeword_signs(BANK_TEXTS, h_pad=256)
 
 
-def _sigma(snr_db, amp=0.5):
-    return np.sqrt(amp ** 2 / (2 * 10 ** (snr_db / 10) * (2500 / 3200)))
-
-
 def _flavors(iq_batch, k_cand=8):
-    i_s = np.real(iq_batch).astype(np.float32)
-    q_s = np.imag(iq_batch).astype(np.float32)
-    peak = np.maximum(np.abs(i_s).max(-1, keepdims=True),
-                      np.abs(q_s).max(-1, keepdims=True))
-    i_n, q_n = i_s * (0.5 / peak), q_s * (0.5 / peak)
-    wf = waterfall(jnp.asarray(i_n), jnp.asarray(q_n))
-    cand = find_sync(wf, k_cand)
-    B = iq_batch.shape[0]
-    flat = {k: cand[k].reshape(-1) for k in
-            ("time_sub", "freq_sub", "time_offset", "freq_offset")}
-    chan = jnp.repeat(jnp.arange(B, dtype=jnp.int32), k_cand)
-    ref, score, tri, coh = refine_llrs_flat(
-        jnp.asarray(i_n), jnp.asarray(q_n), flat, chan, return_pair=True)
-    return ref, tri, coh, np.asarray(cand["score"]).reshape(-1)
+    i_n, q_n, flat, chan, scores = prep(iq_batch, k_cand)
+    ref, _score, tri, coh = refine_llrs_flat(
+        i_n, q_n, flat, chan, return_pair=True)
+    return ref, tri, coh, scores
 
 
-def _corr(llr, bank=None):
-    b = BANK if bank is None else bank
-    num = np.asarray(llr) @ np.asarray(b).T
+def _corr(llr):
+    num = np.asarray(llr) @ np.asarray(BANK).T
     den = np.maximum(np.abs(np.asarray(llr)).sum(-1, keepdims=True), 1e-9)
     return (num / den).max(-1)
 
@@ -79,19 +68,20 @@ def main():
           f"score>=13 max {mx_synced:.3f}", flush=True)
 
     # --- 2. wrong-hypothesis-with-signal ---
-    # real K1ABC<->W9XYZ signals whose seeded text is NOT in the bank
+    # real signals sharing callsign bits with bank rows, whose seeded
+    # text is NOT in the bank
     wrong_msgs = ["K1ABC N0XYZ EN37", "N0XYZ K1ABC FN42",
                   "CQ K1ABC FN42"]
+    in_bank = set(BANK_TEXTS)
+    assert not any(m in in_bank for m in wrong_msgs)
     mx_wrong = 0.0
     for snr in (-10.0, -15.0, -19.0):
         batch = np.stack([
             synthesize_message(wrong_msgs[t % 3], f0_hz=300 + 50 * t,
-                               noise_sigma=_sigma(snr),
+                               noise_sigma=sigma_for_snr(snr),
                                rng=np.random.default_rng(1000 + t))
             for t in range(24)])
         _ref, _tri, coh, score = _flavors(batch, k_cand=4)
-        in_bank = set(BANK_TEXTS)
-        assert not any(m in in_bank for m in wrong_msgs)
         c = _corr(coh)[score >= 13]
         if c.size:
             mx_wrong = max(mx_wrong, float(c.max()))
@@ -101,12 +91,11 @@ def main():
     # --- 3. gain on continuation traffic at the bank's depth ---
     from rtlsdr_ft8d_tpu.ops.ap import AP_CW_THRESH_SYNCED
     for snr in (-22.0, -22.5, -23.0):
-        hits2 = hits3 = 0
         T = 48
         batch = np.stack([
             synthesize_message("K1ABC W9XYZ RR73",
                                f0_hz=400 + 20 * t + (t % 5) / 5 * 6.25,
-                               noise_sigma=_sigma(snr),
+                               noise_sigma=sigma_for_snr(snr),
                                rng=np.random.default_rng(7000 + t))
             for t in range(T)])
         ref, tri, coh, score = _flavors(batch, k_cand=1)

@@ -14,49 +14,14 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-import jax.numpy as jnp
 import numpy as np
 
+from scripts.ab_common import decode_mask, prep, sigma_for_snr
+
 from rtlsdr_ft8d_tpu.host.synth import synthesize_message
-from rtlsdr_ft8d_tpu.ops.ldpc import bp_decode, crc_check
 from rtlsdr_ft8d_tpu.ops.refine import refine_llrs_flat
-from rtlsdr_ft8d_tpu.ops.sync import find_sync
-from rtlsdr_ft8d_tpu.ops.waterfall import waterfall
-from rtlsdr_ft8d_tpu.protocol.unpack import unpack77
 
 MSG = "K1ABC W9XYZ EN37"
-
-
-def _sigma(snr_db, amp=0.5):
-    return np.sqrt(amp ** 2 / (2 * 10 ** (snr_db / 10) * (2500 / 3200)))
-
-
-def _prep(iq_batch):
-    i_s = np.real(iq_batch).astype(np.float32)
-    q_s = np.imag(iq_batch).astype(np.float32)
-    peak = np.maximum(np.abs(i_s).max(-1, keepdims=True),
-                      np.abs(q_s).max(-1, keepdims=True))
-    i_n, q_n = i_s * (0.5 / peak), q_s * (0.5 / peak)
-    wf = waterfall(jnp.asarray(i_n), jnp.asarray(q_n))
-    cand = find_sync(wf, 120)
-    best = {k: cand[k][:, 0] for k in
-            ("time_sub", "freq_sub", "time_offset", "freq_offset")}
-    chan = jnp.arange(iq_batch.shape[0], dtype=jnp.int32)
-    return jnp.asarray(i_n), jnp.asarray(q_n), best, chan
-
-
-def _decode_mask(llrs):
-    hard, err = bp_decode(llrs, 20)
-    ok = np.asarray((err == 0) & crc_check(hard))
-    out = np.zeros(ok.shape[0], bool)
-    for t in range(ok.shape[0]):
-        if ok[t]:
-            try:
-                out[t] = unpack77(
-                    np.asarray(hard[t][:77]).astype(np.uint8)) == MSG
-            except Exception:
-                pass
-    return out
 
 
 def main():
@@ -67,15 +32,15 @@ def main():
             synthesize_message(
                 MSG,
                 f0_hz=500 + (t % 7) * 11.25 + rng.uniform(-0.7, 0.7),
-                noise_sigma=_sigma(snr), rng=rng)
+                noise_sigma=sigma_for_snr(snr), rng=rng)
             for t in range(T)])
-        i_n, q_n, best, chan = _prep(batch)
-        noncoh, score, tri, coh = refine_llrs_flat(
+        i_n, q_n, best, chan, _scores = prep(batch)
+        noncoh, _score, tri, coh = refine_llrs_flat(
             i_n, q_n, best, chan, return_pair=True)
-        m_non = _decode_mask(noncoh)
-        m_tri = _decode_mask(tri)
-        m_coh = _decode_mask(coh)
-        m_blend = _decode_mask((tri + coh) * np.sqrt(0.5))
+        m_non = decode_mask(noncoh, MSG)
+        m_tri = decode_mask(tri, MSG)
+        m_coh = decode_mask(coh, MSG)
+        m_blend = decode_mask((tri + coh) * np.sqrt(0.5), MSG)
         print(f"SNR {snr:6.1f}: noncoh {m_non.sum():2d}/48  "
               f"tri {m_tri.sum():2d}/48  coh {m_coh.sum():2d}/48  "
               f"blend {m_blend.sum():2d}/48  "

@@ -3,7 +3,9 @@
 The device ships the triple-coherent BP posteriors of still-failed
 candidates for host OSD. This measures, at the deep threshold, whether
 a second OSD attempt on the block-coherent flavor's posteriors recovers
-messages the first attempt misses.
+messages the first attempt misses. The BP baseline runs all three
+flavors, matching the shipped ladder. (It does: wired since the
+measurement below.)
 
 Usage: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python3 scripts/osd_coh_ab.py
 """
@@ -12,36 +14,17 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-import jax.numpy as jnp
 import numpy as np
+
+from scripts.ab_common import prep, sigma_for_snr
 
 from rtlsdr_ft8d_tpu.host.synth import synthesize_message
 from rtlsdr_ft8d_tpu.ops.ldpc import bp_decode, crc_check
 from rtlsdr_ft8d_tpu.ops.osd import osd_batch
 from rtlsdr_ft8d_tpu.ops.refine import refine_llrs_flat
-from rtlsdr_ft8d_tpu.ops.sync import find_sync
-from rtlsdr_ft8d_tpu.ops.waterfall import waterfall
 from rtlsdr_ft8d_tpu.protocol.pack import pack77
 
 MSG = "K1ABC W9XYZ EN37"
-
-
-def _sigma(snr_db, amp=0.5):
-    return np.sqrt(amp ** 2 / (2 * 10 ** (snr_db / 10) * (2500 / 3200)))
-
-
-def _prep(iq_batch):
-    i_s = np.real(iq_batch).astype(np.float32)
-    q_s = np.imag(iq_batch).astype(np.float32)
-    peak = np.maximum(np.abs(i_s).max(-1, keepdims=True),
-                      np.abs(q_s).max(-1, keepdims=True))
-    i_n, q_n = i_s * (0.5 / peak), q_s * (0.5 / peak)
-    wf = waterfall(jnp.asarray(i_n), jnp.asarray(q_n))
-    cand = find_sync(wf, 120)
-    best = {k: cand[k][:, 0] for k in
-            ("time_sub", "freq_sub", "time_offset", "freq_offset")}
-    chan = jnp.arange(iq_batch.shape[0], dtype=jnp.int32)
-    return jnp.asarray(i_n), jnp.asarray(q_n), best, chan
 
 
 def main():
@@ -53,17 +36,18 @@ def main():
             synthesize_message(
                 MSG,
                 f0_hz=500 + (t % 7) * 11.25 + rng.uniform(-0.7, 0.7),
-                noise_sigma=_sigma(snr), rng=rng)
+                noise_sigma=sigma_for_snr(snr), rng=rng)
             for t in range(T)])
-        i_n, q_n, best, chan = _prep(batch)
+        i_n, q_n, best, chan, _scores = prep(batch)
         noncoh, _score, tri, coh = refine_llrs_flat(
             i_n, q_n, best, chan, return_pair=True)
-        # BP on each flavor; keep posteriors
-        _h_n, err_n = bp_decode(noncoh, 20)
+        # BP on each flavor (the shipped ladder's plain rungs); keep the
+        # two coherent flavors' posteriors for OSD
+        h_n, err_n = bp_decode(noncoh, 20)
         h_t, err_t, post_t = bp_decode(tri, 20, return_posterior=True)
         h_c, err_c, post_c = bp_decode(coh, 20, return_posterior=True)
         bp_ok = np.zeros(T, bool)
-        for h, e in ((h_t, err_t), (h_c, err_c)):
+        for h, e in ((h_n, err_n), (h_t, err_t), (h_c, err_c)):
             bp_ok |= np.asarray((e == 0) & crc_check(h))
         failed = ~bp_ok
         idx = np.nonzero(failed)[0]
