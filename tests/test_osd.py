@@ -166,3 +166,39 @@ def test_refined_llrs_decode_offgrid_signal():
     assert ok[0, 0]
     assert np.array_equal(np.asarray(hard[0, 0])[:91], bits91)
     assert float(score[0, 0]) > 0.0
+
+
+def test_merge_retries_block_coherent_posteriors():
+    """_merge_osd_decodes must recover a message whose triple-flavor
+    posterior is OSD-garbage but whose block-coherent posterior is
+    clean (the second-attempt branch added with the coherent ladder)."""
+    from rtlsdr_ft8d_tpu.pipeline import _merge_osd_decodes
+    from rtlsdr_ft8d_tpu.protocol.unpack import CallsignHashTable
+
+    bits91, cw = _codeword("K1ABC W9XYZ EN37")
+    clean = (2.0 * cw.astype(np.float32) - 1.0) * 4.9
+    rng = np.random.default_rng(5)
+    garbage = rng.normal(0, 1.0, 174).astype(np.float32)
+    out = {
+        "osd_valid": np.array([True]),
+        "osd_post": garbage[None, :],
+        "osd_post_coh": clean[None, :],
+        "osd_chan": np.array([0], np.int32),
+        "osd_score": np.array([20], np.int32),
+        "osd_snr_db": np.array([-20.0], np.float32),
+        "osd_time_sub": np.array([0], np.uint8),
+        "osd_freq_sub": np.array([0], np.uint8),
+        "osd_time_offset": np.array([0], np.int8),
+        "osd_freq_offset": np.array([16], np.int32),
+    }
+    results = [[]]
+    sub_params = [[]]
+    n = _merge_osd_decodes(out, results, sub_params,
+                           CallsignHashTable())
+    assert n == 1
+    assert results[0][0].text == "K1ABC W9XYZ EN37"
+    # without the coherent posteriors the same out dict recovers nothing
+    out2 = dict(out)
+    del out2["osd_post_coh"]
+    assert _merge_osd_decodes(out2, [[]], [[]],
+                              CallsignHashTable()) == 0
