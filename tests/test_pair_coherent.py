@@ -149,3 +149,34 @@ def test_block_coherent_agrees_at_high_snr():
     _llr_n, _score, _llr_p, llr_c = _llrs_for(np.stack(chans))
     assert _decode_count(llr_c) == T
     assert bool(np.isfinite(np.asarray(llr_c)).all())
+
+
+def test_block_coherent_edge_validity_fallback():
+    """A burst whose third Costas block falls off the window end: the
+    block-coherent flavor must stay finite (NaN symbols blend back to
+    the noncoherent estimate) and the refined LLRs must still decode
+    the truncated signal at high SNR."""
+    # symbol 0 starts at 12672 => symbols 69..78 (incl. the whole third
+    # Costas block) are beyond the 48000-sample window
+    start = 48000 - 69 * 512
+    chan = synthesize_message(MSG, f0_hz=500.0, start_sample=start,
+                              noise_sigma=_sigma(-5.0),
+                              rng=np.random.default_rng(3))
+    batch = np.stack([chan])
+    i_s = np.real(batch).astype(np.float32)
+    q_s = np.imag(batch).astype(np.float32)
+    peak = max(np.abs(i_s).max(), np.abs(q_s).max())
+    i_n = jnp.asarray(i_s * (0.5 / peak))
+    q_n = jnp.asarray(q_s * (0.5 / peak))
+    # candidate at the true position (synthesize_tones centers f0, so
+    # tone 0 sits at 500 - 3.5*6.25 = 478.125 Hz = bin 76 + half-bin)
+    cand = {"time_sub": jnp.array([0], jnp.int32),
+            "freq_sub": jnp.array([1], jnp.int32),
+            "time_offset": jnp.array([start // 512], jnp.int32),
+            "freq_offset": jnp.array([76], jnp.int32)}
+    llr_n, _score, llr_p, llr_c = refine_llrs_flat(
+        i_n, q_n, cand, jnp.array([0], jnp.int32), return_pair=True)
+    for ll in (llr_n, llr_p, llr_c):
+        assert bool(np.isfinite(np.asarray(ll)).all())
+    assert _decode_count(llr_n) + _decode_count(llr_p) \
+        + _decode_count(llr_c) >= 1
