@@ -126,35 +126,38 @@ def deep_rungs(llr_ref, llr_pair, was_failed, score_sel, ap_rows,
     from .ops.ap import (AP_CLAMP_MAG, AP_CW_MIN_SCORE, AP_CW_THRESH,
                          AP_CW_THRESH_SYNCED)
 
-    hard_r, err_r = bp_decode(llr_ref, ldpc_iters)
-    ok_r = (err_r == 0) & crc_check(hard_r) & was_failed
-    hard_p, err_p, post_r = bp_decode(llr_pair, ldpc_iters,
-                                      return_posterior=True)
-    ok_p = (err_p == 0) & crc_check(hard_p) & was_failed & ~ok_r
-    hard_r = jnp.where(ok_p[:, None], hard_p, hard_r)
-    ok_r = ok_r | ok_p
-    post_c = None
+    # Every rung's BP is independent of every other rung's, so the whole
+    # ladder — plain rungs plus one clamped copy per (AP row, flavor) —
+    # runs as ONE batched bp_decode along a leading rung axis: a single
+    # 20-iteration loop instead of 3 + 3*len(ap_rows) sequential loops
+    # (the per-rung results are bit-identical; only the launch count
+    # changes). Acceptance still cascades in the original priority
+    # order below. The coherent flavor's AP clamps union +1..3/48
+    # decodes at -21.5..-22.5 dB over clamping the first two flavors
+    # only (scripts/ap_coh_ab.py).
+    rungs = [llr_ref, llr_pair]
     if llr_coh is not None:
-        hard_b, err_b, post_c = bp_decode(llr_coh, ldpc_iters,
-                                          return_posterior=True)
-        ok_b = (err_b == 0) & crc_check(hard_b) & was_failed & ~ok_r
-        hard_r = jnp.where(ok_b[:, None], hard_b, hard_r)
-        ok_r = ok_r | ok_b
-    # AP clamps run on all three flavors: the coherent flavor's clamps
-    # union +1..3/48 decodes at -21.5..-22.5 dB on AP-eligible traffic
-    # over the first two (scripts/ap_coh_ab.py).
+        rungs.append(llr_coh)
     ap_bases = (llr_pair, llr_ref) if llr_coh is None \
         else (llr_pair, llr_coh, llr_ref)
     for signs in ap_rows:
         mask_c = signs != 0.0
         clamp_c = signs * jnp.float32(AP_CLAMP_MAG)
         for llr_base in ap_bases:
-            llr_c = llr_base.at[..., :77].set(
-                jnp.where(mask_c, clamp_c, llr_base[..., :77]))
-            hard_c, err_c = bp_decode(llr_c, ldpc_iters)
-            ok_c = (err_c == 0) & crc_check(hard_c) & was_failed & ~ok_r
-            hard_r = jnp.where(ok_c[:, None], hard_c, hard_r)
-            ok_r = ok_r | ok_c
+            rungs.append(llr_base.at[..., :77].set(
+                jnp.where(mask_c, clamp_c, llr_base[..., :77])))
+    hard_all, err_all, post_all = bp_decode(
+        jnp.stack(rungs, axis=0), ldpc_iters, return_posterior=True)
+    ok_all = (err_all == 0) & crc_check(hard_all) & was_failed[None, :]
+    post_r = post_all[1]
+    post_c = post_all[2] if llr_coh is not None else None
+
+    hard_r = hard_all[0]
+    ok_r = ok_all[0]
+    for m in range(1, len(rungs)):
+        ok_m = ok_all[m] & ~ok_r
+        hard_r = jnp.where(ok_m[:, None], hard_all[m], hard_r)
+        ok_r = ok_r | ok_m
     if ap_cw_signs is not None:
         for llr_b in (llr_ref, llr_pair):
             corr_r = jnp.einsum('nj,hj->nh', llr_b, ap_cw_signs) \
