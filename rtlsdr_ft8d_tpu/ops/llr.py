@@ -51,15 +51,17 @@ def _tone_mags(wf: jax.Array, cand: dict):
     rowidx = (blocks_c * 2 + ts[..., None]) * 2 + fs[..., None]
     rows = jnp.take_along_axis(
         wf_rows, rowidx.reshape(B, K * FT8_ND, 1), axis=1)
-    rows = rows.reshape(B, K, FT8_ND, NUM_BIN).astype(jnp.float32)
+    rows = rows.reshape(B, K, FT8_ND, NUM_BIN).astype(jnp.bfloat16)
 
     # one-hot column selector: bins fo + GRAY[j] for j = 0..7
     col = jax.lax.broadcasted_iota(jnp.int32, (B, K, NUM_BIN), 2)
     want = fo[..., None, None] + jnp.asarray(_GRAY)[None, None, None, :]
-    sel = (col[..., None] == want).astype(jnp.float32)   # (B, K, 256, 8)
-    # default precision is EXACT here: operands are 0/1 and integers <= 255,
-    # both exactly representable in bfloat16
-    s2 = jnp.einsum("bksc,bkcj->bksj", rows, sel)
+    sel = (col[..., None] == want).astype(jnp.bfloat16)  # (B, K, 256, 8)
+    # bf16 STORAGE is exact here: operands are 0/1 and integers <= 255,
+    # both exactly representable in bfloat16 (and the MXU already computes
+    # the default-precision f32 einsum as bf16 passes); f32 accumulate
+    s2 = jnp.einsum("bksc,bkcj->bksj", rows, sel,
+                    preferred_element_type=jnp.float32)
     return s2, valid
 
 
@@ -117,12 +119,14 @@ def _tone_mags_flat(wf: jax.Array, cand_flat: dict, chan_idx: jax.Array):
     rowidx = (chan_idx[:, None] * (NUM_BLOCKS * 4)
               + ((blocks_c * 2 + ts[:, None]) * 2 + fs[:, None]))
     rows = jnp.take(wf_rows, rowidx.reshape(-1), axis=0) \
-        .reshape(N, FT8_ND, NUM_BIN).astype(jnp.float32)
+        .reshape(N, FT8_ND, NUM_BIN).astype(jnp.bfloat16)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (N, NUM_BIN), 1)
     want = fo[:, None, None] + jnp.asarray(_GRAY)[None, None, :]
-    sel = (col[..., None] == want).astype(jnp.float32)   # (N, 256, 8)
-    s2 = jnp.einsum("nsc,ncj->nsj", rows, sel)
+    sel = (col[..., None] == want).astype(jnp.bfloat16)  # (N, 256, 8)
+    # bf16 storage exact (operands are 0/1 and ints <= 255); f32 accumulate
+    s2 = jnp.einsum("nsc,ncj->nsj", rows, sel,
+                    preferred_element_type=jnp.float32)
     return s2, valid
 
 
