@@ -60,6 +60,30 @@ def main():
     s_b = timeit("sync_scores PALLAS", jax.jit(sync_scores_pallas), wf_a)
     print(f"    sync bit-exact: {bool((np.asarray(s_a) == np.asarray(s_b)).all())}")
 
+    from rtlsdr_ft8d_tpu.ops.llr import _llrs_from_mags, _tone_mags_flat_xla
+    from rtlsdr_ft8d_tpu.ops.llr_pallas import tone_mags_flat_pallas
+    from rtlsdr_ft8d_tpu.ops.sync import find_sync
+
+    cand = jax.jit(find_sync)(wf_a)
+    BUDGET = 1024
+    flat_score = cand["score"].reshape(-1)
+    _, sel = jax.lax.top_k(flat_score, BUDGET)
+    chan_idx = sel // cand["score"][0].size
+    cand_flat = {k: cand[k].reshape(-1)[sel] for k in
+                 ("time_sub", "freq_sub", "time_offset", "freq_offset")}
+
+    def llr_with(tone_mags):
+        def f(wf, cf, ci):
+            return _llrs_from_mags(*tone_mags(wf, cf, ci))
+        return jax.jit(f)
+
+    l_a = timeit("llr flat XLA", llr_with(_tone_mags_flat_xla),
+                 wf_a, cand_flat, chan_idx)
+    l_b = timeit("llr flat PALLAS", llr_with(tone_mags_flat_pallas),
+                 wf_a, cand_flat, chan_idx)
+    print(f"    llr bit-exact: "
+          f"{bool((np.asarray(l_a) == np.asarray(l_b)).all())}")
+
     import scripts.profile_bp as bp
     bp.main()
 
