@@ -28,43 +28,6 @@ _BIT_SET = np.array([[(j >> (2 - b)) & 1 for j in range(8)]
                      for b in range(3)], dtype=bool)         # (3, 8)
 
 
-def _tone_mags(wf: jax.Array, cand: dict):
-    """Gather the 8 Gray-demapped tone magnitudes per (candidate, symbol).
-
-    TPU-shaped: one LANE-ALIGNED row gather (each unit is a whole 256-bin
-    row) followed by a one-hot einsum on the MXU to select the 8 tone
-    columns — element-wise waterfall gathers were the single hottest op of
-    the whole pipeline (~38 ms of a 59 ms graph at 64 channels).
-
-    Returns (s2, valid): (B, K, 58, 8) float32 and (B, K, 58) bool.
-    """
-    ts, fs = cand["time_sub"], cand["freq_sub"]         # (B, K)
-    to, fo = cand["time_offset"], cand["freq_offset"]   # (B, K)
-    B, K = ts.shape
-
-    sym = jnp.asarray(_DATA_SYM)                         # (58,)
-    blocks = to[..., None] + sym[None, None, :]          # (B, K, 58)
-    valid = (blocks >= 0) & (blocks < NUM_BLOCKS)
-    blocks_c = jnp.clip(blocks, 0, NUM_BLOCKS - 1)
-
-    wf_rows = wf.reshape(B, NUM_BLOCKS * 4, NUM_BIN)     # (B, 368, 256)
-    rowidx = (blocks_c * 2 + ts[..., None]) * 2 + fs[..., None]
-    rows = jnp.take_along_axis(
-        wf_rows, rowidx.reshape(B, K * FT8_ND, 1), axis=1)
-    rows = rows.reshape(B, K, FT8_ND, NUM_BIN).astype(jnp.bfloat16)
-
-    # one-hot column selector: bins fo + GRAY[j] for j = 0..7
-    col = jax.lax.broadcasted_iota(jnp.int32, (B, K, NUM_BIN), 2)
-    want = fo[..., None, None] + jnp.asarray(_GRAY)[None, None, None, :]
-    sel = (col[..., None] == want).astype(jnp.bfloat16)  # (B, K, 256, 8)
-    # bf16 STORAGE is exact here: operands are 0/1 and integers <= 255,
-    # both exactly representable in bfloat16 (and the MXU already computes
-    # the default-precision f32 einsum as bf16 passes); f32 accumulate
-    s2 = jnp.einsum("bksc,bkcj->bksj", rows, sel,
-                    preferred_element_type=jnp.float32)
-    return s2, valid
-
-
 def _llrs_from_mags(s2, valid):
     """Shared max-log bit-LLR + ft8_lib variance normalization.
     s2: (..., 58, 8) quantized tone magnitudes; valid: (..., 58)."""
@@ -87,8 +50,22 @@ def _llrs_from_mags(s2, valid):
     return log174 * norm
 
 
+def _flatten_grid(cand: dict):
+    """(B, K) candidate grid -> flat (B*K,) dict + channel indices."""
+    B, K = cand["time_sub"].shape
+    flat = {k: cand[k].reshape(-1) for k in
+            ("time_sub", "freq_sub", "time_offset", "freq_offset")}
+    chan_idx = jax.lax.broadcasted_iota(
+        jnp.int32, (B, K), 0).reshape(-1)
+    return flat, chan_idx, B, K
+
+
 def extract_llrs(wf: jax.Array, cand: dict) -> jax.Array:
     """Extract normalized LLRs for each candidate.
+
+    Routed through the flat path (one reshape each way) so the two
+    formulations — and any kernel bound to _tone_mags_flat, e.g. the
+    FT8_TPU_LLR_PALLAS one — stay a single implementation.
 
     Args:
       wf: (B, 92, 2, 2, 256) uint8 waterfall.
@@ -98,13 +75,21 @@ def extract_llrs(wf: jax.Array, cand: dict) -> jax.Array:
     Returns:
       (B, K, 174) float32 normalized LLRs.
     """
-    s2, valid = _tone_mags(wf, cand)
-    return _llrs_from_mags(s2, valid)
+    flat, chan_idx, B, K = _flatten_grid(cand)
+    return extract_llrs_flat(wf, flat, chan_idx).reshape(B, K, FT8_LDPC_N)
 
 
 def _tone_mags_flat(wf: jax.Array, cand_flat: dict, chan_idx: jax.Array):
-    """Flat-selection variant of _tone_mags: (N,) candidates with their
-    channel indices instead of a rectangular (B, K) grid."""
+    """Gather the 8 Gray-demapped tone magnitudes per (candidate, symbol)
+    for a flat (N,) candidate selection.
+
+    TPU-shaped: one LANE-ALIGNED row gather (each unit is a whole 256-bin
+    row) followed by a one-hot dot on the MXU to select the 8 tone
+    columns — element-wise waterfall gathers were the single hottest op of
+    the whole pipeline (~38 ms of a 59 ms graph at 64 channels).
+
+    Returns (s2, valid): (N, 58, 8) float32 and (N, 58) bool.
+    """
     ts, fs = cand_flat["time_sub"], cand_flat["freq_sub"]
     to, fo = cand_flat["time_offset"], cand_flat["freq_offset"]
     N = ts.shape[0]
@@ -171,6 +156,11 @@ def estimate_snr_flat(wf: jax.Array, cand_flat: dict,
     peak = jnp.max(s2, axis=-1)
     nvalid = jnp.maximum(jnp.sum(valid, axis=-1), 1)
     sig_half_db = jnp.sum(jnp.where(valid, peak, 0.0), axis=-1) / nvalid
+    # noise floor: mean of the below-average cells (one-step trimmed mean —
+    # robust against strong signals inflating the plain mean in busy bands),
+    # corrected by the fixed AWGN distribution-shape offset (the lower-half
+    # mean of chi-square(2) log-power cells sits 9.9 half-dB below the full
+    # mean; measured on pure-noise waterfalls)
     wf_f = wf.reshape(wf.shape[0], -1).astype(jnp.float32)
     m1 = jnp.mean(wf_f, axis=-1, keepdims=True)
     below = (wf_f <= m1).astype(jnp.float32)
@@ -190,20 +180,5 @@ def estimate_snr(wf: jax.Array, cand: dict) -> jax.Array:
 
     Returns (B, K) float32 dB.
     """
-    s2, valid = _tone_mags(wf, cand)
-    # strongest tone per symbol, in quantized half-dB units
-    peak = jnp.max(s2, axis=-1)
-    nvalid = jnp.maximum(jnp.sum(valid, axis=-1), 1)
-    sig_half_db = jnp.sum(jnp.where(valid, peak, 0.0), axis=-1) / nvalid
-    # noise floor: mean of the below-average cells (one-step trimmed mean —
-    # robust against strong signals inflating the plain mean in busy bands),
-    # corrected by the fixed AWGN distribution-shape offset (the lower-half
-    # mean of chi-square(2) log-power cells sits 9.9 half-dB below the full
-    # mean; measured on pure-noise waterfalls)
-    wf_f = wf.reshape(wf.shape[0], -1).astype(jnp.float32)
-    m1 = jnp.mean(wf_f, axis=-1, keepdims=True)
-    below = (wf_f <= m1).astype(jnp.float32)
-    noise_half_db = jnp.sum(wf_f * below, axis=-1) \
-        / jnp.maximum(jnp.sum(below, axis=-1), 1.0) + 9.9
-    snr = 0.5 * (sig_half_db - noise_half_db[:, None]) - 26.0
-    return snr
+    flat, chan_idx, B, K = _flatten_grid(cand)
+    return estimate_snr_flat(wf, flat, chan_idx).reshape(B, K)
