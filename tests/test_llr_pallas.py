@@ -81,6 +81,40 @@ def test_snr_path_matches_through_module_swap(wf, monkeypatch):
     assert np.array_equal(ref, got)
 
 
+def test_knob_binds_kernel_and_matches():
+    """FT8_TPU_LLR_PALLAS=1 rebinding (env read at import => subprocess)."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import numpy as np, jax.numpy as jnp\n"
+        "import rtlsdr_ft8d_tpu.ops.llr as llr\n"
+        "assert llr._tone_mags_flat is not llr._tone_mags_flat_xla\n"
+        "rng = np.random.default_rng(0)\n"
+        "wf = jnp.asarray(rng.integers(0, 256, (2, 92, 2, 2, 256),"
+        " dtype=np.uint8))\n"
+        "cand = {'time_sub': jnp.asarray(rng.integers(0, 2, 32)"
+        ".astype(np.int32)),\n"
+        "        'freq_sub': jnp.asarray(rng.integers(0, 2, 32)"
+        ".astype(np.int32)),\n"
+        "        'time_offset': jnp.asarray(rng.integers(-12, 24, 32)"
+        ".astype(np.int32)),\n"
+        "        'freq_offset': jnp.asarray(rng.integers(0, 249, 32)"
+        ".astype(np.int32))}\n"
+        "chan = jnp.asarray(rng.integers(0, 2, 32).astype(np.int32))\n"
+        "got = llr.extract_llrs_flat(wf, cand, chan)\n"
+        "ref = llr._llrs_from_mags(*llr._tone_mags_flat_xla(wf, cand,"
+        " chan))\n"
+        "assert (np.asarray(got) == np.asarray(ref)).all()\n"
+        "print('llr knob ok')\n")
+    env = dict(os.environ, FT8_TPU_LLR_PALLAS="1", JAX_PLATFORMS="cpu",
+               PALLAS_AXON_POOL_IPS="")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=240)
+    assert "llr knob ok" in out.stdout, (out.stdout, out.stderr)
+
+
 def test_wideband_falls_back_to_xla(monkeypatch):
     calls = {"xla": 0}
 
