@@ -107,6 +107,9 @@ bool normalize_std(const char* call, char out[7]) {
   return true;
 }
 
+// defined below inside the extern "C" block (language linkage must match)
+extern "C" bool is_nonstd_call(const char* tok);
+
 int64_t pack_c28(const char* field) {
   if (!strcmp(field, "DE")) return 0;
   if (!strcmp(field, "QRZ")) return 1;
@@ -137,7 +140,11 @@ int64_t pack_c28(const char* field) {
     n = n * 27 + index_of(kA4, std6[5]);
     return kNTokens + kMax22 + n;
   }
-  return kNTokens + hash_call(field, 22);
+  // Hash fallback only for valid hashable calls (shared predicate with
+  // the Python packer): hashing junk fields (empty strings, bare '/R')
+  // made structured parses lossy and the two codecs diverge.
+  if (is_nonstd_call(field)) return kNTokens + hash_call(field, 22);
+  return -1;
 }
 
 bool pack_g15(const char* field, int* g15, int* ir) {
@@ -166,8 +173,17 @@ bool pack_g15(const char* field, int* g15, int* ir) {
     return true;
   }
   if ((f[0] == '+' || f[0] == '-') && len >= 2 && len <= 3) {
-    int rpt = atoi(f);
-    if (rpt >= -30 && rpt <= 99) { *g15 = kMaxGrid4 + 35 + rpt; return true; }
+    bool digits = true;
+    for (const char* p = f + 1; *p; ++p) digits = digits && isdigit(*p);
+    // digit check: atoi("-D") == 0 used to accept junk as a +00 report
+    // (Python requires digits; fuzz_extended caught the divergence)
+    if (digits) {
+      int rpt = atoi(f);
+      if (rpt >= -30 && rpt <= 99) {
+        *g15 = kMaxGrid4 + 35 + rpt;
+        return true;
+      }
+    }
   }
   return false;
 }

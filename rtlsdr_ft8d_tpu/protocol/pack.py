@@ -48,8 +48,15 @@ def pack_callsign_28(call: str) -> int:
         n = n * 27 + A4.index(std[4])
         n = n * 27 + A4.index(std[5])
         return NTOKENS + MAX22 + n
-    # Nonstandard callsign -> 22-bit hash
-    return NTOKENS + hash_callsign(call, 22)
+    # Nonstandard callsign -> 22-bit hash, but only for tokens that are
+    # valid hashable calls (the shared nonstandard-call predicate).
+    # Hashing arbitrary junk (empty strings, bare '/R', '.'-containing
+    # words) made structured parses LOSSY — the text no longer round-trips
+    # — and diverged from the C++ codec on hostile free text (caught by
+    # scripts/fuzz_extended.py: 'BXUCO /R', 'WXM.UO8 9 -D').
+    if _is_nonstd_call(call):
+        return NTOKENS + hash_callsign(call, 22)
+    raise PackError(f"not a packable callsign: {call!r}")
 
 
 def pack_grid_15(field: str, *, allow_report=True):
@@ -132,7 +139,9 @@ def _try_pack_std(tokens, i3):
     field_c = " ".join(rest)
 
     def strip_suffix(c):
-        if c.endswith(suffix):
+        # len > 2: a bare '/R' token is not a suffixed call (same rule as
+        # the C++ codec; a stripped-to-empty field used to hash '')
+        if len(c) > 2 and c.endswith(suffix):
             return c[:-2], 1
         return c, 0
 

@@ -106,9 +106,10 @@ def test_nonstd_call_max_length():
                      f"{nc} K1ABC RR73",
                      f"K1ABC {nc} 73"):
             _both_ways(form)
-    # 12 chars exceed the i3=4 58-bit field: both impls fall back to the
-    # type-1 22-bit hash reference (unresolvable -> '<...>'), identically
-    assert _both_ways("CQ ABCDEFGHIJKL") == "CQ <...>"
+    # 12 chars exceed the i3=4 58-bit field AND the 11-char hash limit:
+    # an unresolvable '<...>' would lose more than free text does, so both
+    # impls fall to free text (13-char truncation), identically
+    assert _both_ways("CQ ABCDEFGHIJKL") == "CQ ABCDEFGHIJ"
 
 
 def test_hash_collision_lookup():
@@ -136,6 +137,24 @@ def test_hash_collision_lookup():
     assert h_batch._by22 == h_seq._by22
     # the colliding slot holds the last writer
     assert h_seq._by22[hash_callsign("ORDE", 22)] == "ORDE"
+
+
+def test_junk_fields_fall_to_free_text():
+    """Structured-looking junk must NOT be lossily force-parsed: the c28
+    hash fallback requires a valid hashable call and reports require
+    digits, so these fall to free text and round-trip exactly. Both were
+    live Python<->C++ divergences caught by scripts/fuzz_extended.py
+    ('BXUCO /R': bare '/R' stripped-to-empty vs hashed; 'WXM.UO8 9 -D':
+    C++ atoi('-D') accepted junk as a +00 report)."""
+    from rtlsdr_ft8d_tpu.protocol.pack import pack77
+
+    for msg in ["BXUCO /R", "WXM.UO8 9 -D", "K1ABC /P", "/R /R",
+                "K1ABC W9X -D", "BXUCO TNX 73"]:
+        text = _both_ways(msg)
+        bits = pack77(msg)
+        i3 = int(bits[74]) * 4 + int(bits[75]) * 2 + int(bits[76])
+        assert i3 == 0, (msg, i3)          # free text, not structured
+        assert text == msg, (msg, text)    # lossless round-trip
 
 
 def test_cq_token_variants():
