@@ -67,8 +67,41 @@ def main():
             print(f"{i + 1}/{n_payloads} payloads, "
                   f"{len(mismatches)} mismatches", flush=True)
 
+    # phase 3: spot-field extraction parity (native batched vs sequential
+    # Python, shared hash-table side effects) over packable grammar msgs
+    from rtlsdr_ft8d_tpu.protocol.text import CallsignHashTable
+    from rtlsdr_ft8d_tpu.protocol.unpack import unpack_spot, \
+        unpack_spots_batch
+
+    n_spot = min(n_msgs, 20_000)
+    rows, keep = [], []
+    for _ in range(n_spot):
+        try:
+            bits = pack77(random_message(rng))
+        except PackError:
+            continue
+        rows.append(np.packbits(np.concatenate(
+            [bits, np.zeros(19, np.uint8)])))
+        keep.append(bits)
+    h_seq = CallsignHashTable()
+    expected = []
+    for bits in keep:
+        try:
+            expected.append(unpack_spot(bits, h_seq))
+        except UnpackError:
+            expected.append(None)
+    h_batch = CallsignHashTable()
+    got = unpack_spots_batch(np.stack(rows), h_batch)
+    for i, (e, g) in enumerate(zip(expected, got)):
+        if e != g:
+            mismatches.append(("spot", i, e, g))
+    if h_batch._by22 != h_seq._by22:
+        mismatches.append(("spot-hashtable",))
+    print(f"spot parity over {len(keep)} packable msgs", flush=True)
+
     print(f"DONE grammar={n_msgs} checked={n_checked} "
-          f"payloads={n_payloads} mismatches={len(mismatches)}")
+          f"payloads={n_payloads} spots={len(keep)} "
+          f"mismatches={len(mismatches)}")
     for m in mismatches[:40]:
         print("MISMATCH:", m)
     return 1 if mismatches else 0
