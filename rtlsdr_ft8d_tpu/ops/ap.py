@@ -132,6 +132,28 @@ def continuation_texts(to_call: str, from_call: str,
     return out
 
 
+def bank_correlate(llrs, ap_cw_signs, scores):
+    """Laddered enumeration-bank gate, shared by every decode path
+    (single-chip budgeted/unbudgeted, deep-ladder rungs, sharded dense).
+
+    Normalized correlation of each candidate's LLRs against the ±1
+    codeword bank; a hit needs corr > AP_CW_THRESH outright, or
+    corr > AP_CW_THRESH_SYNCED backed by real sync evidence
+    (scores >= AP_CW_MIN_SCORE). Returns (hit bool, bits bool of the
+    best row) — callers AND in their own eligibility (K_MIN_SCORE /
+    failed / selected masks) and merge. One copy so a threshold or gate
+    change can never diverge between paths."""
+    import jax.numpy as jnp
+
+    c = jnp.einsum('...j,hj->...h', llrs, ap_cw_signs) \
+        / jnp.maximum(jnp.sum(jnp.abs(llrs), -1, keepdims=True), 1e-9)
+    cmax = jnp.max(c, axis=-1)
+    hit = (cmax > AP_CW_THRESH) \
+        | ((cmax > AP_CW_THRESH_SYNCED) & (scores >= AP_CW_MIN_SCORE))
+    bits = jnp.take(ap_cw_signs, jnp.argmax(c, axis=-1), axis=0) > 0
+    return hit, bits
+
+
 def codeword_signs(texts, h_pad: int | None = None) -> np.ndarray | None:
     """(H, 174) float32 ±1 codeword sign rows for the enumeration bank;
     texts that don't pack are skipped, all-zero rows pad to `h_pad`

@@ -119,19 +119,11 @@ def decode_window_dense(i_samples, q_samples, mesh: Mesh,
 
         # Enumeration bank on the selected LLRs (laddered gate)
         if ap_cw_signs is not None:
-            from ..ops.ap import (AP_CW_MIN_SCORE, AP_CW_THRESH,
-                                  AP_CW_THRESH_SYNCED)
-            c = jnp.einsum('bkj,hj->bkh', llrs, ap_cw_signs) \
-                / jnp.maximum(jnp.sum(jnp.abs(llrs), -1,
-                                      keepdims=True), 1e-9)
-            cmax = jnp.max(c, axis=-1)
-            hit = ((cmax > AP_CW_THRESH)
-                   | ((cmax > AP_CW_THRESH_SYNCED)
-                      & (scores >= AP_CW_MIN_SCORE))) \
-                & (scores >= K_MIN_SCORE) & selected
-            bits = (jnp.take(ap_cw_signs, jnp.argmax(c, axis=-1),
-                             axis=0) > 0).astype(hard.dtype)
-            ok, hard, errors = merge(hit, bits, ok, hard, errors)
+            from ..ops.ap import bank_correlate
+            hit, bits = bank_correlate(llrs, ap_cw_signs, scores)
+            hit = hit & (scores >= K_MIN_SCORE) & selected
+            ok, hard, errors = merge(hit, bits.astype(hard.dtype),
+                                     ok, hard, errors)
 
         out_extra = {}
         if n_osd_loc > 0:

@@ -123,8 +123,7 @@ def deep_rungs(llr_ref, llr_pair, was_failed, score_sel, ap_rows,
     -20.5 dB; a second OSD attempt on the block-coherent posteriors
     recovers +1..2/48 more at -21..-22 dB, scripts/osd_coh_ab.py).
     post_c is None when llr_coh is None."""
-    from .ops.ap import (AP_CLAMP_MAG, AP_CW_MIN_SCORE, AP_CW_THRESH,
-                         AP_CW_THRESH_SYNCED)
+    from .ops.ap import AP_CLAMP_MAG, bank_correlate
 
     # Every rung's BP is independent of every other rung's, so the whole
     # ladder — plain rungs plus one clamped copy per (AP row, flavor) —
@@ -160,19 +159,10 @@ def deep_rungs(llr_ref, llr_pair, was_failed, score_sel, ap_rows,
         ok_r = ok_r | ok_m
     if ap_cw_signs is not None:
         for llr_b in (llr_ref, llr_pair):
-            corr_r = jnp.einsum('nj,hj->nh', llr_b, ap_cw_signs) \
-                / jnp.maximum(jnp.sum(jnp.abs(llr_b), -1,
-                                      keepdims=True), 1e-9)
-            cmax_r = jnp.max(corr_r, axis=-1)
-            best_r = jnp.argmax(corr_r, axis=-1)
-            hit_r = (cmax_r > AP_CW_THRESH) \
-                | ((cmax_r > AP_CW_THRESH_SYNCED)
-                   & (score_sel >= AP_CW_MIN_SCORE))
+            hit_r, bits_r = bank_correlate(llr_b, ap_cw_signs, score_sel)
             ok_cw_r = hit_r & was_failed & ~ok_r
-            hard_r = jnp.where(
-                ok_cw_r[:, None],
-                (jnp.take(ap_cw_signs, best_r, axis=0) > 0)
-                .astype(hard_r.dtype), hard_r)
+            hard_r = jnp.where(ok_cw_r[:, None],
+                               bits_r.astype(hard_r.dtype), hard_r)
             ok_r = ok_r | ok_cw_r
     return hard_r, ok_r, post_r, post_c
 
@@ -267,7 +257,7 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
     # deeper. (llrs is either the full (B, K, 174) tensor or the
     # budgeted (budget, 174) selection; the clamp and BP runner handle
     # both shapes.)
-    from .ops.ap import AP_CLAMP_MAG, AP_CW_THRESH, clamp_row_cq
+    from .ops.ap import AP_CLAMP_MAG, clamp_row_cq
     ap_rows = []
     if ap_cq:
         ap_rows.append(jnp.asarray(clamp_row_cq()))
@@ -293,19 +283,12 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
     # (corr > AP_CW_THRESH, or corr > AP_CW_THRESH_SYNCED with real
     # sync evidence). No BP at all: a batched matched-filter bank.
     if ap_cw_signs is not None:
-        from .ops.ap import AP_CW_MIN_SCORE, AP_CW_THRESH_SYNCED
+        from .ops.ap import bank_correlate
 
         def bank_gate(llrs_in, scores_in):
-            c = jnp.einsum('...j,hj->...h', llrs_in, ap_cw_signs) \
-                / jnp.maximum(jnp.sum(jnp.abs(llrs_in), -1,
-                                      keepdims=True), 1e-9)
-            cmax = jnp.max(c, axis=-1)
-            hit = (cmax > AP_CW_THRESH) \
-                | ((cmax > AP_CW_THRESH_SYNCED)
-                   & (scores_in >= AP_CW_MIN_SCORE))
-            bits = (jnp.take(ap_cw_signs, jnp.argmax(c, axis=-1),
-                             axis=0) > 0).astype(hard.dtype)
-            return hit & (scores_in >= K_MIN_SCORE), bits
+            hit, bits = bank_correlate(llrs_in, ap_cw_signs, scores_in)
+            return (hit & (scores_in >= K_MIN_SCORE),
+                    bits.astype(hard.dtype))
 
         if llrs.ndim == 2:       # budgeted: scatter flat hits back
             score_f = cand["score"].reshape(-1)[sel]
@@ -371,8 +354,7 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
         out["osd_post_coh"] = post_c                   # (n_osd, 174)
         out["osd_valid"] = was_failed & ~ok_r          # (n_osd,)
         out["osd_chan"] = chan_f.astype(jnp.int32)
-        out["osd_score"] = cand["score"].reshape(-1)[sel_f] \
-            .astype(jnp.int32)
+        out["osd_score"] = score_sel.astype(jnp.int32)
         out["osd_snr_db"] = estimate_snr_flat(wf, cand_sel, chan_f)
         out["osd_time_sub"] = cand_sel["time_sub"].astype(jnp.uint8)
         out["osd_freq_sub"] = cand_sel["freq_sub"].astype(jnp.uint8)
@@ -625,13 +607,16 @@ def decode_window(iq, hashes: CallsignHashTable | None = None,
                 h = 64
                 while h < bank.shape[0]:
                     h *= 2
-                bank = codeword_signs(ap_texts, h_pad=h)
+                if h > bank.shape[0]:       # pad with inert all-zero rows
+                    bank = np.concatenate([bank, np.zeros(
+                        (h - bank.shape[0], bank.shape[1]), np.float32)])
                 ap_cw_signs = jnp.asarray(bank)
     results, sub_params, out = _decode_pass(i_s, q_s, hashes,
                                             num_candidates, ldpc_iters,
                                             ap_cq, budget, osd_cands,
                                             ap_clamp_signs, ap_cw_signs,
                                             sync_exact)
+    outs = [out]                       # per-pass stats, summed at the end
 
     # Multi-pass: subtract every decoded signal and decode the residual
     # (WSJT-X-style; neither the reference nor ft8_lib has this).
@@ -659,11 +644,12 @@ def decode_window(iq, hashes: CallsignHashTable | None = None,
             jnp.asarray(valid), MAXM)
         i_s = np.asarray(i_r)
         q_s = np.asarray(q_r)
-        res2, sub_params, _ = _decode_pass(i_s, q_s, hashes,
-                                           num_candidates, ldpc_iters,
-                                           ap_cq, budget, osd_cands,
-                                           ap_clamp_signs, ap_cw_signs,
-                                           sync_exact)
+        res2, sub_params, out2 = _decode_pass(i_s, q_s, hashes,
+                                              num_candidates, ldpc_iters,
+                                              ap_cq, budget, osd_cands,
+                                              ap_clamp_signs, ap_cw_signs,
+                                              sync_exact)
+        outs.append(out2)
         for b in range(B):
             known = {d.text for d in results[b]}
             new = [d for d in res2[b] if d.text not in known]
@@ -673,14 +659,18 @@ def decode_window(iq, hashes: CallsignHashTable | None = None,
                              if d.text not in known]
     if return_stats:
         from .host.log import WindowStats
+        # sum counters over ALL passes so subtraction-pass recoveries are
+        # reflected (messages_unique already counts every pass)
         stats = WindowStats(
             channels=i_s.shape[0],
-            candidates_scored=i_s.shape[0] * num_candidates,
-            candidates_above_min=int(np.sum(out["n_above_min"])),
-            ldpc_converged=int(np.sum(out["n_ldpc_ok"])),
-            crc_passed=int(np.sum(out["n_ok"])),
+            candidates_scored=len(outs) * i_s.shape[0] * num_candidates,
+            candidates_above_min=sum(int(np.sum(o["n_above_min"]))
+                                     for o in outs),
+            ldpc_converged=sum(int(np.sum(o["n_ldpc_ok"])) for o in outs),
+            crc_passed=sum(int(np.sum(o["n_ok"])) for o in outs),
             messages_unique=sum(len(r) for r in results),
-            extra=({"osd_recovered": int(out["n_osd_recovered"])}
+            extra=({"osd_recovered": sum(int(o["n_osd_recovered"])
+                                         for o in outs)}
                    if "n_osd_recovered" in out else {}),
         )
         return (results[0] if squeeze else results), stats
