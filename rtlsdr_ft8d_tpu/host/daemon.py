@@ -74,8 +74,6 @@ def decode_file(args) -> int:
                             osd_cands=getattr(args, "osd", 0),
                             ap_call=(args.callsign if getattr(
                                 args, "ap", False) else None))
-    if n_windows == 1:
-        results = [results] if not isinstance(results[0], list) else results
     total = 0
     when = datetime.now(timezone.utc)
     for w, decodes in enumerate(results):
@@ -336,6 +334,15 @@ def run_daemon(args) -> int:
     bands = [parse_frequency(f, args.directsampling)
              for f in args.frequency]
     procs = [WindowProcessor(args, dial) for dial, _ in bands]
+    # multiband shares ONE QsoTracker: QSO hypotheses are per-station,
+    # not per-band, and the batched multiband decode feeds every band's
+    # decodes through the same bank (per-proc trackers would be dead
+    # state on procs[1:])
+    for p in procs[1:]:
+        p.qso = procs[0].qso
+    if getattr(args, "elastic", False) and getattr(args, "multipass", 1) > 1:
+        print("warning: --multipass is not available on the --elastic "
+              "path; running single-pass", file=sys.stderr)
 
     lib = native.load()
     if lib is None:
@@ -391,8 +398,13 @@ def run_daemon(args) -> int:
     def align_to_boundary():
         """Sleep to the next 15-s UTC boundary, then flush everything the
         sources captured before it (the reference resets iqIndex at each
-        boundary, c:1349-1352). Window 0 then starts AT the boundary."""
-        _sleep(seconds_to_next_window())
+        boundary, c:1349-1352). Window 0 then starts AT the boundary.
+        Sleeps in 0.1-s slices checking `stop` (like the main wait loop)
+        so SIGTERM during alignment doesn't stall up to a full 15 s —
+        PEP 475 makes one monolithic time.sleep resume after the handler."""
+        deadline = _now() + seconds_to_next_window()
+        while not stop and _now() < deadline:
+            _sleep(min(0.1, max(deadline - _now(), 0.0)))
         for ring in rings:
             lib.ingest_ring_discard(ring, lib.ingest_ring_available(ring))
 
@@ -464,8 +476,11 @@ def run_daemon(args) -> int:
                 i_b = np.stack([b[0] for b in basebands])
                 q_b = np.stack([b[1] for b in basebands])
                 epoch = int(_now()) - SIGNAL_LENGTH_S + 1
-                results = decode_window(
+                want_stats = getattr(args, "stats", False)
+                t0 = time.time()
+                rs = decode_window(
                     (i_b, q_b), hashes=[p.hashes for p in procs],
+                    return_stats=want_stats,
                     passes=getattr(args, "multipass", 1),
                     ap_cq=getattr(args, "ap", False),
                     osd_cands=getattr(args, "osd", 0),
@@ -473,10 +488,17 @@ def run_daemon(args) -> int:
                         args, "ap", False) else None),
                     ap_texts=(procs[0].qso.bank()
                               if procs[0].qso else None))
-                for proc, decodes, bb in zip(procs, results, basebands):
+                results, mb_stats = rs if want_stats else (rs, None)
+                decode_ms = (time.time() - t0) * 1000.0
+                for bi, (proc, decodes, bb) in enumerate(
+                        zip(procs, results, basebands)):
                     if procs[0].qso:
                         procs[0].qso.observe(decodes)
-                    proc.emit(decodes, epoch, i_bb=bb[0], q_bb=bb[1])
+                    # the batched decode yields ONE WindowStats across
+                    # all bands; log it once (first band's emit)
+                    proc.emit(decodes, epoch,
+                              mb_stats if bi == 0 else None,
+                              decode_ms, i_bb=bb[0], q_bb=bb[1])
             if args.maxloop and procs[0].windows_done >= args.maxloop:
                 stop = True
             if not stop and not synthetic:

@@ -103,15 +103,21 @@ class ElasticDecoder:
 
     def check(self) -> bool:
         """Probe every currently-alive device; shrink the mesh if any
-        died. Returns True iff the mesh changed."""
+        died. Returns True iff the MESH changed — a dead spare outside
+        the power-of-two prefix leaves the mesh identical, and reporting
+        that as a change would let decode_window burn its retry on the
+        same mesh (defeating the 'nothing died: a real bug' re-raise)."""
         newly_dead = [d for d in self.alive_devices()
                       if not self.heartbeat(d, self.heartbeat_timeout)]
         if not newly_dead:
             return False
+        old = set(self.mesh.devices.flat)
         self.dead.update(newly_dead)
         self._rebuild()
-        self.windows_recovered += 1
-        return True
+        changed = set(self.mesh.devices.flat) != old
+        if changed:
+            self.windows_recovered += 1
+        return changed
 
     # -- decoding ------------------------------------------------------
 
@@ -147,7 +153,12 @@ class ElasticDecoder:
                                           global_budget, **kw)
                 out = {k: np.asarray(v) for k, v in out.items()}
                 if pad:
-                    out = {k: (v[:b] if v.ndim and v.shape[0] == b + pad
+                    # trim only CHANNEL-indexed outputs: osd_* arrays are
+                    # indexed by flat OSD candidate, whose count can
+                    # coincide with b+pad (e.g. B=1018, pad=6, n_osd=1024)
+                    # — a shape-match trim would silently drop real rows
+                    out = {k: (v[:b] if not k.startswith("osd_")
+                               and v.ndim and v.shape[0] == b + pad
                                else v)
                            for k, v in out.items()}
                 return out, self.mesh
