@@ -72,15 +72,20 @@ size_t ingest_ring_push_u8(void* ring, const uint8_t* iq_interleaved,
 
   uint64_t phase = r->mixer_phase;
   const size_t mask = r->capacity - 1;
+  // negate with saturation: -(-128) wraps back to -128 in int8, which
+  // would flip the sign of every ADC-rail (clipped) sample
+  auto neg = [](int8_t v) -> int8_t {
+    return v == -128 ? 127 : static_cast<int8_t>(-v);
+  };
   for (size_t k = 0; k < count_samples; ++k) {
     int8_t i = static_cast<int8_t>(iq_interleaved[2 * k] - 128);
     int8_t q = static_cast<int8_t>(iq_interleaved[2 * k + 1] - 128);
     int8_t oi, oq;
     switch (phase & 3) {
       case 0: oi = i;  oq = q;  break;
-      case 1: oi = q;  oq = static_cast<int8_t>(-i); break;
-      case 2: oi = static_cast<int8_t>(-i); oq = static_cast<int8_t>(-q); break;
-      default: oi = static_cast<int8_t>(-q); oq = i;  break;
+      case 1: oi = q;  oq = neg(i); break;
+      case 2: oi = neg(i); oq = neg(q); break;
+      default: oi = neg(q); oq = i;  break;
     }
     size_t pos = static_cast<size_t>(head + k) & mask;
     r->i_buf[pos] = oi;

@@ -41,9 +41,15 @@ const unsigned char kTxDescriptor[] = {
 void put_u16(uint8_t* p, uint16_t v) { v = htons(v); memcpy(p, &v, 2); }
 void put_u32(uint8_t* p, uint32_t v) { v = htonl(v); memcpy(p, &v, 4); }
 
-size_t put_str(uint8_t* p, const char* s) {
+// Writes a length-prefixed string, clamped to BOTH the 255-byte wire
+// limit and `room` (bytes available incl. the length byte) — rx_call /
+// rx_loc come from user config, and unbounded writes could overflow the
+// fixed rx_info stack buffer before the total-size check runs.
+size_t put_str(uint8_t* p, const char* s, size_t room) {
+  if (room == 0) return 0;
   size_t len = strlen(s);
-  if (len > 255) len = 255;
+  size_t cap = room - 1 < 255 ? room - 1 : 255;
+  if (len > cap) len = cap;
   p[0] = static_cast<uint8_t>(len);
   memcpy(p + 1, s, len);
   return len + 1;
@@ -70,9 +76,13 @@ int ipfix_build_frame(uint8_t* out, int cap, const char* rx_call,
   uint8_t rx_info[256] = {0};
   size_t rx_ptr = 4;
   put_u16(rx_info, 0x9992);
-  rx_ptr += put_str(rx_info + rx_ptr, rx_call);
-  rx_ptr += put_str(rx_info + rx_ptr, rx_loc);
-  rx_ptr += put_str(rx_info + rx_ptr, app_version);
+  // reserve 3 bytes for the trailing 4-byte alignment pad
+  rx_ptr += put_str(rx_info + rx_ptr, rx_call,
+                    sizeof(rx_info) - rx_ptr - 3);
+  rx_ptr += put_str(rx_info + rx_ptr, rx_loc,
+                    sizeof(rx_info) - rx_ptr - 3);
+  rx_ptr += put_str(rx_info + rx_ptr, app_version,
+                    sizeof(rx_info) - rx_ptr - 3);
   if (rx_ptr % 4) rx_ptr += 4 - (rx_ptr % 4);
   put_u16(rx_info + 2, static_cast<uint16_t>(rx_ptr));
 
@@ -81,11 +91,13 @@ int ipfix_build_frame(uint8_t* out, int cap, const char* rx_call,
   put_u16(tx_info, 0x9993);
   for (int i = 0; i < n_spots; ++i) {
     if (tx_ptr > 1200) break;  // reference's per-frame spot budget (c:497)
-    tx_ptr += put_str(tx_info + tx_ptr, spots[i].call);
+    tx_ptr += put_str(tx_info + tx_ptr, spots[i].call,
+                      sizeof(tx_info) - tx_ptr);
     put_u32(tx_info + tx_ptr, spots[i].freq_hz); tx_ptr += 4;
     tx_info[tx_ptr++] = static_cast<uint8_t>(spots[i].snr_db);
-    tx_ptr += put_str(tx_info + tx_ptr, "FT8");
-    tx_ptr += put_str(tx_info + tx_ptr, spots[i].locator);
+    tx_ptr += put_str(tx_info + tx_ptr, "FT8", sizeof(tx_info) - tx_ptr);
+    tx_ptr += put_str(tx_info + tx_ptr, spots[i].locator,
+                      sizeof(tx_info) - tx_ptr);
     tx_info[tx_ptr++] = 1;  // information source: automatic extraction
     put_u32(tx_info + tx_ptr, spots[i].epoch); tx_ptr += 4;
   }

@@ -155,10 +155,12 @@ int osd_one(const float* llr, int depth, int pair_depth, int crc_top,
     encode(icol, colcw[w]);
   }
 
+  // == Python's mean(rel) * N up to summation order (numpy sums
+  // pairwise); the norm gate has ulp-level slack vs the numpy path,
+  // which the cross-impl parity fuzz tolerates
   double relsum = 0.0;
   for (int i = 0; i < kN; ++i) relsum += rel[i];
-  double scale = (relsum / kN) * kN;
-  if (scale < 1e-9) scale = 1e-9;
+  double scale = relsum < 1e-9 ? 1e-9 : relsum;
 
   // pattern order identical to osd_decode: none, singles, pairs
   Shortlist top(crc_top);
