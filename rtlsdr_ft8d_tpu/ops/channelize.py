@@ -96,25 +96,28 @@ def channelize(i_full: jax.Array, q_full: jax.Array, frame_offset=0):
     odd-frame-count chunks/shards sign-flip odd channels mid-window.
     """
     bank = jnp.asarray(_wb_bank())                 # (750, 64)
-    alt = jnp.asarray(
-        np.where(np.arange(WB_PHASES) % 2 == 0, 1.0, -1.0)
-        .astype(np.float32))
     n = i_full.shape[-1]
     m = (n - WB_HISTORY) // R
     nf = m + WB_PHASES - 1                         # total frames = n // 750
 
-    def phase_filter(x, signs):
+    def phase_partials(x):
+        # even/odd banks share every slice-FMA term: z_even = sum over
+        # all r, z_odd = sum with (-1)^r signs, so computing the even-r
+        # and odd-r partial sums ONCE gives both as pe+po / pe-po —
+        # half the polyphase filter work of filtering the banks apart
         fr = x.reshape(nf, R)
-        z = jnp.zeros((m, R), jnp.float32)
+        pe = jnp.zeros((m, R), jnp.float32)
+        po = jnp.zeros((m, R), jnp.float32)
         for r in range(WB_PHASES):
-            z = z + fr[r:r + m, :] * (bank[:, r] * signs[r])[None, :]
-        return z
+            t = fr[r:r + m, :] * bank[:, r][None, :]
+            if r % 2 == 0:
+                pe = pe + t
+            else:
+                po = po + t
+        return pe + po, pe - po
 
-    ones = jnp.ones((WB_PHASES,), jnp.float32)
-    zi_e = phase_filter(i_full, ones)
-    zq_e = phase_filter(q_full, ones)
-    zi_o = phase_filter(i_full, alt)
-    zq_o = phase_filter(q_full, alt)
+    zi_e, zi_o = phase_partials(i_full)
+    zq_e, zq_o = phase_partials(q_full)
 
     # odd path: multiply by e^{-j2pi p/1500} then (-1)^m on the output;
     # (-1)^r from the bank already accounts for (-1)^{m} parity of u=m+r

@@ -22,7 +22,6 @@ from ..protocol.parity_tables import LDPC_MN, LDPC_NM
 # --- Static index tables -----------------------------------------------------
 _NM = LDPC_NM.copy()                     # (83, 7) var indices, -1 pad
 _NM_VALID = _NM >= 0
-_NM_SAFE = np.where(_NM_VALID, _NM, 0)
 
 _MN = LDPC_MN.copy()                     # (174, 3) check indices
 
@@ -33,13 +32,6 @@ for m in range(FT8_LDPC_M):
         n = _NM[m, j]
         if n >= 0:
             _NM_POS[m, j] = int(np.where(_MN[n] == m)[0][0])
-
-# Position of variable n within NM[m] for each (n, i) with m = MN[n, i].
-_MN_POS = np.zeros_like(_MN)
-for n in range(FT8_LDPC_N):
-    for i in range(3):
-        m = _MN[n, i]
-        _MN_POS[n, i] = int(np.where(_NM[m] == n)[0][0])
 
 # --- One-hot selection matrices: gathers become MXU matmuls ------------------
 # The TPU hates small irregular gathers and loves GEMMs; every per-edge
@@ -86,12 +78,6 @@ def _fast_atanh(x):
     x2 = x * x
     return x * (945.0 + x2 * (-735.0 + x2 * 64.0)) \
         / (945.0 + x2 * (-1050.0 + x2 * 225.0))
-
-
-def _check_errors(hard: jax.Array) -> jax.Array:
-    """Number of unsatisfied parity checks. hard: (..., 174) bool/int."""
-    bits = hard[..., _NM_SAFE] & jnp.asarray(_NM_VALID)      # (..., 83, 7)
-    return jnp.sum(jnp.sum(bits, axis=-1) % 2, axis=-1)
 
 
 # The Tanner-graph GEMMs run at default (bf16x3-class) precision: the

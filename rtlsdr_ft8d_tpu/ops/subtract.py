@@ -115,7 +115,6 @@ def subtract_signals(i_s, q_s, tones, base_freq_bin2, start_half_blocks,
     energies = jnp.stack(energies, axis=-1)                  # (B, M, 3)
     best_v = jnp.argmax(energies, axis=-1)                   # (B, M)
     start_best = start_half_blocks + (best_v - 1)
-    idx_c, in_range = _symbol_windows(start_best, tones)
 
     # 2. fractional-delay refinement FIRST (a misaligned window corrupts
     # the CFO estimate). The half-symbol timing grid leaves up to +-128

@@ -147,31 +147,35 @@ def find_sync(wf: jax.Array, num_candidates: int = K_MAX_CANDIDATES,
 
     By default the top-K runs in two stages (top-CHUNK_K per 16-cell freq
     chunk, then global top-K over survivors) — a large win over a full sort
-    of all 35,856 cells on TPU. This is exact unless more than CHUNK_K of
-    the true global top-K fall in the SAME (time_sub, freq_sub, time_offset,
-    100 Hz) chunk, which requires >CHUNK_K interleaved signals within 100 Hz
-    at identical time alignment; `exact=True` forces the full sort.
+    of all 35,856 cells on TPU. Every (ts, fs, to) frequency row is padded
+    to a CHUNK multiple so chunks NEVER straddle rows: the two-stage
+    selection is exact unless more than CHUNK_K of the true global top-K
+    fall in the SAME (time_sub, freq_sub, time_offset, 100 Hz) chunk,
+    which requires >CHUNK_K interleaved signals within 100 Hz at identical
+    time alignment; `exact=True` forces the full sort.
     """
     scores = _scores_impl(wf)
-    flat = scores.reshape(scores.shape[:-4] + (-1,))
+    batch_shape = scores.shape[:-4]
+    # pad the freq axis so each (ts, fs, to) row is a whole number of
+    # chunks (pads score far below any real cell and are never selected)
+    padf = (-NUM_FREQ_OFFSETS) % CHUNK
+    width = NUM_FREQ_OFFSETS + padf
+    sp = jnp.pad(scores, [(0, 0)] * (len(batch_shape) + 3) + [(0, padf)],
+                 constant_values=-(1 << 20))
+    flat = sp.reshape(batch_shape + (-1,))
     if exact:
         top, idx = jax.lax.top_k(flat, num_candidates)
     else:
-        batch_shape = flat.shape[:-1]
-        n = flat.shape[-1]
-        pad = (-n) % CHUNK
-        flatp = jnp.pad(flat, [(0, 0)] * len(batch_shape) + [(0, pad)],
-                        constant_values=-(1 << 20))
-        chunks = flatp.reshape(batch_shape + (-1, CHUNK))
+        chunks = flat.reshape(batch_shape + (-1, CHUNK))
         v1, i1 = jax.lax.top_k(chunks, CHUNK_K)          # (..., C, CHUNK_K)
         base = (jnp.arange(chunks.shape[-2]) * CHUNK)[..., :, None]
         gidx = (i1 + base).reshape(batch_shape + (-1,))
         v1 = v1.reshape(batch_shape + (-1,))
         top, sel = jax.lax.top_k(v1, num_candidates)
         idx = jnp.take_along_axis(gidx, sel, axis=-1)
-    # unravel [ts][fs][to][fo]
-    fo = idx % NUM_FREQ_OFFSETS
-    rest = idx // NUM_FREQ_OFFSETS
+    # unravel [ts][fs][to][fo] (fo over the padded row width)
+    fo = idx % width
+    rest = idx // width
     to = rest % NUM_TIME_OFFSETS + TIME_OFFSET_MIN
     rest = rest // NUM_TIME_OFFSETS
     fs = rest % 2
