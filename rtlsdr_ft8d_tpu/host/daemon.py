@@ -522,7 +522,10 @@ def run_daemon(args) -> int:
                 pass
         if not synthetic:
             for src in sources:
-                src.stop()
+                try:
+                    src.stop()
+                except SourceError as e:    # wedged pump: leak, keep going
+                    print(f"source stop: {e}", file=sys.stderr)
         for r in rings:
             lib.ingest_ring_destroy(r)
     return 0

@@ -78,11 +78,11 @@ def read_wav(path):
     with wave.open(path, "rb") as w:
         assert w.getsampwidth() == 2, "PCM16 expected"
         rate = w.getframerate()
+        nch = w.getnchannels()
         frames = w.readframes(w.getnframes())
     x = np.frombuffer(frames, dtype=np.int16).astype(np.float32) / 32768.0
-    with wave.open(path, "rb") as w:
-        if w.getnchannels() > 1:
-            x = x.reshape(-1, w.getnchannels())[:, 0].copy()
+    if nch > 1:
+        x = x.reshape(-1, nch)[:, 0].copy()
     return x, rate
 
 

@@ -122,6 +122,14 @@ class RtlSdrSource:
         self.lib.rtlsdr_cancel_async(self.dev)
         if self._thread:
             self._thread.join(timeout=5)
+            if self._thread.is_alive():
+                # rtlsdr_read_async has not returned: closing the handle
+                # now would free it out from under the in-flight read
+                # (use-after-free in librtlsdr). Leak the handle instead
+                # and let the wedged thread die with the process.
+                raise SourceError(
+                    "pump thread did not exit within 5 s; "
+                    "leaving device handle open")
         self.lib.rtlsdr_close(self.dev)
         self.dev = None
 

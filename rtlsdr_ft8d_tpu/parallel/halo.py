@@ -15,30 +15,39 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.decimate import HISTORY, R, polyphase_decimate
+from .sharding import make_mesh
 
 TIME_AXIS = "t"
 
 
 def make_time_mesh(num_devices: int | None = None) -> Mesh:
-    import numpy as np
-    devs = jax.devices()
-    if num_devices is not None:
-        devs = devs[:num_devices]
-    return Mesh(np.asarray(devs), (TIME_AXIS,))
+    return make_mesh(num_devices, TIME_AXIS)
+
+
+def _check_span(n: int, axis_size: int, history: int, what: str) -> None:
+    local_span = n // axis_size
+    assert local_span >= history, (
+        f"per-device span {local_span} must cover the {history}-sample "
+        f"{what} halo (use fewer devices or longer windows)")
 
 
 def decimate_time_sharded(i_s, q_s, mesh: Mesh):
-    """Decimate a (..., n) stream whose time axis is sharded over the mesh.
+    """Decimate a 1-D (n,) stream whose time axis is sharded over the mesh.
 
-    n must be divisible by (mesh_size * 750). Each device filters its local
-    span using a HISTORY-sample halo received from its left neighbor via
-    ppermute; device 0 uses zeros (stream start). Output is the (..., n/750)
-    decimated stream, time-sharded the same way.
+    n must be divisible by (mesh_size * 750) and each device's span must
+    cover the HISTORY halo. Each device filters its local span using a
+    HISTORY-sample halo received from its left neighbor via ppermute;
+    device 0 uses zeros (stream start). Output is the (n/750,) decimated
+    stream, time-sharded the same way. For (B, n) inputs use
+    decimate_batch_time_sharded — in_specs here shard axis 0, so a 2-D
+    input would be batch-sharded and halo the wrong data.
     """
+    assert i_s.ndim == 1, "1-D stream expected; see decimate_batch_time_sharded"
     axis_size = mesh.shape[TIME_AXIS]
+    _check_span(i_s.shape[-1], axis_size, HISTORY, "decimator")
 
     def local(i_loc, q_loc):
-        # i_loc: (..., n_local) — this device's time span
+        # i_loc: (n_local,) — this device's time span
         perm = [(d, d + 1) for d in range(axis_size - 1)]
         halo_i = jax.lax.ppermute(i_loc[..., -HISTORY:], TIME_AXIS, perm)
         halo_q = jax.lax.ppermute(q_loc[..., -HISTORY:], TIME_AXIS, perm)
@@ -46,8 +55,6 @@ def decimate_time_sharded(i_s, q_s, mesh: Mesh):
         i_full = jnp.concatenate([halo_i, i_loc], axis=-1)
         q_full = jnp.concatenate([halo_q, q_loc], axis=-1)
         return polyphase_decimate(i_full, q_full)
-
-    spec = P(*([None] * 0), TIME_AXIS)   # shard last axis
 
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P(TIME_AXIS), P(TIME_AXIS)),
@@ -90,6 +97,7 @@ def channelize_time_sharded(i_s, q_s, mesh: Mesh):
 def decimate_batch_time_sharded(i_s, q_s, mesh: Mesh):
     """(B, n) variant: batch replicated dims first, time axis last."""
     axis_size = mesh.shape[TIME_AXIS]
+    _check_span(i_s.shape[-1], axis_size, HISTORY, "decimator")
 
     def local(i_loc, q_loc):
         perm = [(d, d + 1) for d in range(axis_size - 1)]
