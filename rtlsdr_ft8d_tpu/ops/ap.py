@@ -132,6 +132,19 @@ def continuation_texts(to_call: str, from_call: str,
     return out
 
 
+def apply_clamp(llrs, signs):
+    """Pin the hypothesis bits of a clamp row into (..., 174) LLRs: where
+    `signs` is nonzero, the first 77 positions are replaced by
+    signs * AP_CLAMP_MAG. The ONE copy of the clamp semantics — the
+    single-chip graph, the deep-ladder rungs and the sharded dense path
+    all call this, so a magnitude/application change cannot diverge."""
+    import jax.numpy as jnp
+
+    mask = signs != 0.0
+    clamp = signs * jnp.float32(AP_CLAMP_MAG)
+    return llrs.at[..., :77].set(jnp.where(mask, clamp, llrs[..., :77]))
+
+
 def bank_correlate(llrs, ap_cw_signs, scores):
     """Laddered enumeration-bank gate, shared by every decode path
     (single-chip budgeted/unbudgeted, deep-ladder rungs, sharded dense).

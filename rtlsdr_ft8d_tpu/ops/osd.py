@@ -304,20 +304,25 @@ def osd_batch_numpy(llrs: np.ndarray, max_norm: float = 0.12,
     # precomputed per-slot columns — no GEMM over the pattern set.
     rel_b = np.take_along_axis(rel, pos, axis=1)
     order = np.argsort(rel_b, axis=1, kind="stable")
-    weak = order[:, :depth]                         # (N, depth)
+    # column set over the weakest max(depth, pair_depth) slots: singles
+    # flip the first `depth`, pairs combine within the first `pair_depth`
+    # (independent depths, exactly like osd_decode — pair_depth > depth
+    # used to IndexError here while the scalar oracle handled it)
+    nw = max(depth, pair_depth)
+    weak = order[:, :nw]                            # (N, nw)
     bitmask = np.array([128 >> b for b in range(8)], np.uint8)
     wbytes = np.take_along_axis(
-        augp, np.broadcast_to((weak >> 3)[:, None, :], (N, k, depth)),
+        augp, np.broadcast_to((weak >> 3)[:, None, :], (N, k, nw)),
         axis=2)
-    icols = ((wbytes & bitmask[weak & 7][:, None, :]) != 0)  # (N,91,depth)
-    colcw = ((icols.transpose(0, 2, 1).reshape(N * depth, k)
+    icols = ((wbytes & bitmask[weak & 7][:, None, :]) != 0)  # (N,91,nw)
+    colcw = ((icols.transpose(0, 2, 1).reshape(N * nw, k)
               .astype(np.float32) @ Ef.T) % 2.0) \
-        .astype(np.uint8).reshape(N, depth, FT8_LDPC_N)
+        .astype(np.uint8).reshape(N, nw, FT8_LDPC_N)
 
     P = 1 + depth + pair_depth * (pair_depth - 1) // 2
     cws = np.empty((N, P, FT8_LDPC_N), np.uint8)
     cws[:, 0] = cw0
-    cws[:, 1:1 + depth] = cw0[:, None, :] ^ colcw
+    cws[:, 1:1 + depth] = cw0[:, None, :] ^ colcw[:, :depth]
     pa = [a for a in range(pair_depth) for _ in range(a + 1, pair_depth)]
     pb = [b for a in range(pair_depth) for b in range(a + 1, pair_depth)]
     cws[:, 1 + depth:] = cw0[:, None, :] ^ colcw[:, pa] ^ colcw[:, pb]

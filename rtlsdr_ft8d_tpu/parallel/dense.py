@@ -66,10 +66,14 @@ def decode_window_dense(i_samples, q_samples, mesh: Mesh,
     osd_cands_global > 0 — unpack with pipeline.unpack_survivors +
     pipeline._merge_osd_decodes exactly like the single-chip output.
     """
-    from ..ops.ap import AP_CLAMP_MAG
     from ..pipeline import compact_survivors, deep_rungs
 
     axes = tuple(mesh.axis_names)
+    # budget in (None, 0) means unbudgeted, matching the single-chip
+    # graph's rule (pipeline.py: "an explicit --budget 0 must not run
+    # top_k with k=0") — the threshold then reduces to K_MIN_SCORE
+    if not global_budget:
+        global_budget = i_samples.shape[0] * num_candidates
     n_shards = int(np.prod([mesh.shape[a] for a in axes]))
     n_osd_loc = max(osd_cands_global // n_shards, 0)
 
@@ -107,13 +111,10 @@ def decode_window_dense(i_samples, q_samples, mesh: Mesh,
         # set to O(1) so the extra BP passes stay a small fraction of
         # the window budget.
         if ap_clamp_signs is not None:
+            from ..ops.ap import apply_clamp
             for h in range(ap_clamp_signs.shape[0]):
-                signs = ap_clamp_signs[h]
-                mask = signs != 0.0
-                clamp = signs * jnp.float32(AP_CLAMP_MAG)
-                llrs_ap = llrs.at[..., :77].set(
-                    jnp.where(mask, clamp, llrs[..., :77]))
-                hard_a, err_a = bp_decode(llrs_ap, ldpc_iters)
+                hard_a, err_a = bp_decode(
+                    apply_clamp(llrs, ap_clamp_signs[h]), ldpc_iters)
                 ok_a = (err_a == 0) & crc_check(hard_a) & selected
                 ok, hard, errors = merge(ok_a, hard_a, ok, hard, errors)
 
@@ -169,7 +170,7 @@ def decode_window_dense(i_samples, q_samples, mesh: Mesh,
                 "osd_post_coh": post_c,
                 "osd_valid": was_failed & ~ok_r,
                 "osd_chan": (chan_f + shard * b_loc).astype(jnp.int32),
-                "osd_score": scores.reshape(-1)[sel_f].astype(jnp.int32),
+                "osd_score": score_sel.astype(jnp.int32),
                 "osd_snr_db": estimate_snr_flat(wf, cand_sel, chan_f),
                 "osd_time_sub": cand_sel["time_sub"].astype(jnp.uint8),
                 "osd_freq_sub": cand_sel["freq_sub"].astype(jnp.uint8),

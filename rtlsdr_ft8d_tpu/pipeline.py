@@ -123,7 +123,7 @@ def deep_rungs(llr_ref, llr_pair, was_failed, score_sel, ap_rows,
     -20.5 dB; a second OSD attempt on the block-coherent posteriors
     recovers +1..2/48 more at -21..-22 dB, scripts/osd_coh_ab.py).
     post_c is None when llr_coh is None."""
-    from .ops.ap import AP_CLAMP_MAG, bank_correlate
+    from .ops.ap import apply_clamp, bank_correlate
 
     # Every rung's BP is independent of every other rung's, so the whole
     # ladder — plain rungs plus one clamped copy per (AP row, flavor) —
@@ -140,11 +140,8 @@ def deep_rungs(llr_ref, llr_pair, was_failed, score_sel, ap_rows,
     ap_bases = (llr_pair, llr_ref) if llr_coh is None \
         else (llr_pair, llr_coh, llr_ref)
     for signs in ap_rows:
-        mask_c = signs != 0.0
-        clamp_c = signs * jnp.float32(AP_CLAMP_MAG)
         for llr_base in ap_bases:
-            rungs.append(llr_base.at[..., :77].set(
-                jnp.where(mask_c, clamp_c, llr_base[..., :77])))
+            rungs.append(apply_clamp(llr_base, signs))
     hard_all, err_all, post_all = bp_decode(
         jnp.stack(rungs, axis=0), ldpc_iters, return_posterior=True)
     ok_all = (err_all == 0) & crc_check(hard_all) & was_failed[None, :]
@@ -257,7 +254,7 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
     # deeper. (llrs is either the full (B, K, 174) tensor or the
     # budgeted (budget, 174) selection; the clamp and BP runner handle
     # both shapes.)
-    from .ops.ap import AP_CLAMP_MAG, clamp_row_cq
+    from .ops.ap import apply_clamp, clamp_row_cq
     ap_rows = []
     if ap_cq:
         ap_rows.append(jnp.asarray(clamp_row_cq()))
@@ -265,11 +262,7 @@ def decode_window_device(i_samples: jax.Array, q_samples: jax.Array,
         for h in range(ap_clamp_signs.shape[0]):       # static shape
             ap_rows.append(ap_clamp_signs[h])
     for signs in ap_rows:
-        mask = signs != 0.0
-        clamp = signs * jnp.float32(AP_CLAMP_MAG)
-        llrs_ap = llrs.at[..., :77].set(
-            jnp.where(mask, clamp, llrs[..., :77]))
-        hard_ap, errors_ap = run_bp(llrs_ap)
+        hard_ap, errors_ap = run_bp(apply_clamp(llrs, signs))
         ok_ap = (errors_ap == 0) & crc_check(hard_ap) \
             & (cand["score"] >= K_MIN_SCORE) & ~ok
         hard = jnp.where(ok_ap[..., None], hard_ap, hard)

@@ -40,6 +40,23 @@ def test_dense_decode_2d_mesh():
     assert "hard" not in out
 
 
+def test_dense_budget_zero_means_unbudgeted():
+    """global_budget in (None, 0) = unbudgeted, matching the single-chip
+    rule — top_k with k=0 used to crash at trace time."""
+    mesh = make_grid_mesh(2, 4)
+    msgs = ["CQ K1JT FN20", "K1ABC W9XYZ EN37"]
+    chans = [synthesize_message(msgs[b % 2], f0_hz=250 + 60 * b,
+                                noise_sigma=0.1,
+                                rng=np.random.default_rng(b))
+             for b in range(8)]
+    batch = np.stack(chans)
+    out = decode_window_dense(np.real(batch).astype(np.float32),
+                              np.imag(batch).astype(np.float32),
+                              mesh, global_budget=0)
+    for b in range(8):
+        assert msgs[b % 2] in _decode_texts(out, b), b
+
+
 def test_dense_budget_prioritizes_strong_signals():
     """With a tiny global budget, the strong channel wins over the weak."""
     mesh = make_grid_mesh(2, 4)

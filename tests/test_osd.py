@@ -102,6 +102,22 @@ def test_osd_batch_paths_match_scalar():
         assert np.array_equal(m_c[a_c], m_s[a_s])
 
 
+def test_osd_batch_pair_depth_exceeds_depth():
+    """pair_depth > depth is routed to the numpy path (the native gate
+    requires pair_depth <= depth) and used to IndexError there while the
+    scalar oracle handled it — all paths must agree on these args too."""
+    from rtlsdr_ft8d_tpu.ops.osd import osd_batch_numpy, osd_batch_scalar
+
+    llrs = _mixed_llrs()
+    m_s, a_s = osd_batch_scalar(llrs, depth=6, pair_depth=10)
+    m_n, a_n = osd_batch_numpy(llrs, depth=6, pair_depth=10)
+    assert np.array_equal(a_n, a_s)
+    assert np.array_equal(m_n[a_n], m_s[a_s])
+    m_d, a_d = osd_batch(llrs, depth=6, pair_depth=10)   # dispatch
+    assert np.array_equal(a_d, a_s)
+    assert np.array_equal(m_d[a_d], m_s[a_s])
+
+
 def test_osd_batch_parity_fuzz():
     """Wider randomized parity fuzz native vs numpy vs scalar (the three
     implementations share no code beyond the E matrix)."""
