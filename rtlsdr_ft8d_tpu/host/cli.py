@@ -4,7 +4,7 @@ Honors every option of the reference's usage text
 (/root/reference/rtlsdr_ft8d.c:975-1006): -f (frequency or band string with
 the same 16-entry band plan, HF bands auto-enable direct sampling mode 2),
 -c, -l, -g, -a, -o, -p, -u, -d, -n, -i, -x, -t, -w, -r, --help, --version.
-Extensions: --channels N (multi-channel batch decode), --report (the
+Extensions: repeated -f args (multi-band batch decode), --report (the
 reference ships with reporting hard-disabled, c:366 — here it is opt-in),
 --save-c2, --host/--port for the uplink.
 """
@@ -43,7 +43,10 @@ def atofs(s: str) -> float:
     if s and s[-1] in "kKmMgG":
         mult = {"k": 1e3, "m": 1e6, "g": 1e9}[s[-1].lower()]
         s = s[:-1]
-    return float(s) * mult
+    try:
+        return float(s) * mult
+    except ValueError:
+        raise SystemExit(f"bad frequency/number: {s!r}\n --help for usage...")
 
 
 def parse_frequency(value: str, direct_sampling: int):
@@ -98,8 +101,6 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-r", "--readfile", metavar="FILE",
                    help="read .iq/.c2/.wav capture, decode and exit")
     p.add_argument("--save-c2", metavar="FILE", help="also save .c2 format")
-    p.add_argument("--channels", type=int, default=None,
-                   help="decode batch size (defaults to number of -f args)")
     p.add_argument("--wideband", action="store_true",
                    help="decode ALL 1500 channels (1600 Hz spacing) of the 2.4 MHz "
                         "capture via the polyphase filterbank channelizer "

@@ -113,7 +113,7 @@ def polyphase_decimate(i_s: jax.Array, q_s: jax.Array):
         nf = m + PHASES - 1                      # total frames = n // R
         fr = x.reshape(x.shape[:-1] + (nf, R))
         y = jnp.dot(fr, bank, precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)   # (..., nf+1, 8)
+                    preferred_element_type=jnp.float32)   # (..., nf, 8)
         out = jnp.zeros(x.shape[:-1] + (m,), jnp.float32)
         for r in range(PHASES):
             out = out + jax.lax.dynamic_slice_in_dim(

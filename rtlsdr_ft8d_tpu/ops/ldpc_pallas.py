@@ -24,8 +24,9 @@ explicit exclusive products have. Value differences vs the XLA path
 are last-ulp class; decode parity is verified by the same instruments
 as every precision decision (tests, bench ladder, golden fixtures).
 
-Opt-in via FT8_TPU_BP_PALLAS=1 (pipeline.py) until measured on
-hardware; `interpret=True` path is used on CPU (tests).
+Opt-in via FT8_TPU_BP_PALLAS=1, resolved at the ops layer
+(ops/ldpc.py — "the knob lives HERE") until measured on hardware;
+`interpret=True` path is used on CPU (tests).
 """
 
 import functools
