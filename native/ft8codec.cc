@@ -505,9 +505,10 @@ int ft8_pack77(const char* text_in, uint8_t* bits77) {
   if (try_pack_fieldday(toks, ntok, bits77)) return 0;
   if (try_pack_nonstd(toks, ntok, bits77)) return 0;
 
-  // try standard type 1/2
+  // try standard type 1/2 — scan ALL tokens for '/P' (it can follow a
+  // two-token directed CQ), like the Python packer
   int i3 = 1;
-  for (int i = 0; i < ntok && i < 2; ++i) {
+  for (int i = 0; i < ntok; ++i) {
     size_t l = strlen(toks[i]);
     if (l > 2 && !strcmp(toks[i] + l - 2, "/P")) i3 = 2;
   }
@@ -515,7 +516,10 @@ int ft8_pack77(const char* text_in, uint8_t* bits77) {
     char fa[20], fb[16], fc[32];
     int ia = 1;
     snprintf(fa, sizeof fa, "%s", toks[0]);
-    if (!strcmp(toks[0], "CQ") && ntok >= 3) {
+    // consume a directed-CQ modifier even with nothing after it (the
+    // std parse then fails for lack of a caller and the message falls
+    // to free text, matching the Python packer's merge rule)
+    if (!strcmp(toks[0], "CQ") && ntok >= 2) {
       size_t l1 = strlen(toks[1]);
       bool dig = l1 == 3, let = l1 >= 1 && l1 <= 4;
       for (char* p = toks[1]; *p; ++p) {
@@ -791,6 +795,7 @@ static void spot_fields(const uint8_t* bits, Ft8SpotText* r) {
   if (i3 == 4) {
     uint64_t n58 = get_bits(bits, 12, 58);
     int c1 = bits[73];
+    int h1 = bits[70];
     char call[12];
     for (int i = 10; i >= 0; --i) {
       call[i] = kHashAlpha[n58 % 38];
@@ -805,6 +810,9 @@ static void spot_fields(const uint8_t* bits, Ft8SpotText* r) {
     snprintf(r->add_a, sizeof r->add_a, "%s", s);
     if (c1) {
       r->is_cq = 1;
+      snprintf(r->call, sizeof r->call, "%s", s);
+    } else if (h1 == 0) {
+      // "<OTHER> CALL [rpt]": the c58 call is in the sender slot
       snprintf(r->call, sizeof r->call, "%s", s);
     }
     return;

@@ -86,7 +86,10 @@ def pack_grid_15(field: str, *, allow_report=True):
         g = ((ord(field[0]) - 65) * 18 + (ord(field[1]) - 65)) * 100 \
             + int(field[2]) * 10 + int(field[3])
         return g, ir
-    if allow_report and field[0] in "+-" and field[1:].lstrip("0123456789") == "":
+    # isdigit (not lstrip) so a bare '+'/'-' is a PackError, not an
+    # uncaught ValueError from int() (PackError subclasses ValueError,
+    # so `except PackError` would NOT have caught it)
+    if allow_report and field[0] in "+-" and field[1:].isdigit():
         report = int(field)
         if -30 <= report <= 99:
             return MAXGRID4 + 35 + report, ir
@@ -325,7 +328,9 @@ def pack77(text: str) -> np.ndarray:
         if out is not None:
             assert out.shape[0] == FT8_PAYLOAD_BITS
             return out
-    i3 = 2 if any(t.endswith("/P") for t in tokens[:2]) else 1
+    # scan ALL tokens: a '/P' call sits at tokens[2] after a two-token
+    # directed CQ ('CQ EU K1ABC/P IO91' is type 2)
+    i3 = 2 if any(t.endswith("/P") for t in tokens) else 1
     out = _try_pack_std(tokens, i3)
     if out is not None:
         assert out.shape[0] == FT8_PAYLOAD_BITS

@@ -69,6 +69,17 @@ def normalize_standard(call: str):
     return None
 
 
+def c58_to_call(n58: int) -> str:
+    """Decode the i3=4 58-bit base-38 field to its 11-char callsign
+    (stripped). ONE copy shared by unpack77 and the spot extractor —
+    the native side keeps its single copy in spot_fields."""
+    chars = []
+    for _ in range(11):
+        chars.append(HASH_ALPHABET[n58 % 38])
+        n58 //= 38
+    return "".join(reversed(chars)).strip()
+
+
 def hash_callsign(call: str, nbits: int) -> int:
     """FT8 22/12/10-bit callsign hash (multiplicative, base-38 packing)."""
     call = call.strip().upper()[:11].ljust(11)

@@ -103,12 +103,8 @@ def _unpack_nonstd(bits, hashes) -> str:
     h1 = int(bits[70])
     r2 = _int_from_bits(bits[71:73])
     c1 = int(bits[73])
-    from .text import HASH_ALPHABET
-    chars = []
-    for _ in range(11):
-        chars.append(HASH_ALPHABET[n58 % 38])
-        n58 //= 38
-    call = "".join(reversed(chars)).strip()
+    from .text import c58_to_call
+    call = c58_to_call(n58)
     if hashes is not None:
         hashes.add(call)
     other = hashes.lookup(h12, 12) if hashes else None
@@ -223,10 +219,9 @@ def unpack_spot(payload_bits: np.ndarray,
         ipb = int(bits[57])
         ir = int(bits[58])
         g15 = _int_from_bits(bits[59:74])
-        try:
-            call = unpack_callsign_28(n28b, ipb, i3, hashes)
-        except UnpackError:
-            call = ""
+        # no try/except: unpack77 above already decoded the same
+        # (n28b, ipb, i3) and would have raised
+        call = unpack_callsign_28(n28b, ipb, i3, hashes)
         if call.startswith("<"):
             call = call.strip("<>").replace("...", "")
         if not ir and g15 <= MAXGRID4:
@@ -234,23 +229,22 @@ def unpack_spot(payload_bits: np.ndarray,
     elif i3 == 3:
         n28a = _int_from_bits(bits[1:29])
         is_cq = 2 <= n28a <= 532443
-        try:
-            call = unpack_callsign_28(_int_from_bits(bits[29:57]), 0, i3,
-                                      hashes)
-        except UnpackError:
-            call = ""
+        call = unpack_callsign_28(_int_from_bits(bits[29:57]), 0, i3,
+                                  hashes)
         if call.startswith("<"):
             call = call.strip("<>").replace("...", "")
     elif i3 == 4:
-        if int(bits[73]):                    # c1: "CQ CALL"
+        from .text import c58_to_call
+        c1 = int(bits[73])
+        h1 = int(bits[70])
+        if c1:                               # "CQ CALL"
             is_cq = True
-            n58 = _int_from_bits(bits[12:70])
-            from .text import HASH_ALPHABET
-            chars = []
-            for _ in range(11):
-                chars.append(HASH_ALPHABET[n58 % 38])
-                n58 //= 38
-            call = "".join(reversed(chars)).strip()
+            call = c58_to_call(_int_from_bits(bits[12:70]))
+        elif h1 == 0:
+            # "<OTHER> CALL [rpt]": the c58 call sits in the sender
+            # slot, so spot it (i3 1/2/3 extract non-CQ senders too;
+            # h1==1 puts only the 12-bit hash in the sender slot)
+            call = c58_to_call(_int_from_bits(bits[12:70]))
     else:
         is_cq = text.startswith("CQ ")
         parts = text.split()

@@ -157,6 +157,40 @@ def test_junk_fields_fall_to_free_text():
         assert text == msg, (msg, text)    # lossless round-trip
 
 
+def test_grammar_edge_regressions():
+    """Cases from the protocol-layer review: bare report sign, '/P' after
+    a directed CQ, bare directed-CQ modifier — parity AND semantics."""
+    from rtlsdr_ft8d_tpu.protocol.pack import pack77
+
+    # bare '+' third field: used to escape as an uncaught ValueError
+    # (PackError subclasses ValueError so `except PackError` missed it)
+    text = _both_ways("K1ABC W9XYZ +")
+    assert text == "K1ABC W9XYZ +"          # free text, lossless
+    # '/P' at tokens[2] after a two-token directed CQ is type 2
+    bits = pack77("CQ EU K1ABC/P IO91")
+    assert int(bits[74]) * 4 + int(bits[75]) * 2 + int(bits[76]) == 2
+    assert _both_ways("CQ EU K1ABC/P IO91") == "CQ EU K1ABC/P IO91"
+    # a trailing directed-CQ modifier with no caller: both codecs must
+    # agree (free text), not emit divergent structured bits
+    assert _both_ways("CQ 123") == "CQ 123"
+    assert _both_ways("CQ DX") == "CQ DX"
+
+
+def test_spot_extracts_nonstd_sender():
+    """i3=4 non-CQ: the c58 call in the SENDER slot must be spotted
+    (consistent with i3 1/2/3; the reference's CQ-only spot slots are a
+    deliberately-unreproduced quirk, SURVEY §8)."""
+    from rtlsdr_ft8d_tpu.protocol.pack import pack77
+    from rtlsdr_ft8d_tpu.protocol.unpack import unpack_spot
+
+    bits = pack77("K1ABC PJ4/W9XYZ RRR")    # h1=0: c58 call is sender
+    text, call, loc, is_cq = unpack_spot(bits)
+    assert call == "PJ4/W9XYZ" and not is_cq
+    bits = pack77("PJ4/W9XYZ K1ABC 73")     # h1=1: sender is only hashed
+    text, call, loc, is_cq = unpack_spot(bits)
+    assert call == "" and not is_cq
+
+
 def test_cq_token_variants():
     """Every CQ modifier class at its boundary values."""
     for mod in ["000", "999", "001", "A", "ZZ", "ZZZZ", "DX", "POTA",
