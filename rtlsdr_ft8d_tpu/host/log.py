@@ -22,6 +22,10 @@ def setup_logging(level=logging.INFO, stream=None):
         logging.Formatter("%(asctime)s %(levelname).1s %(name)s: %(message)s"))
     logger.handlers[:] = [handler]
     logger.setLevel(level)
+    # don't propagate to the root handler: embedding scripts that called
+    # logging.basicConfig would otherwise see every scrape-oriented
+    # single-line JSON record twice
+    logger.propagate = False
     return logger
 
 
@@ -53,13 +57,13 @@ class StageTimer:
             self.parent, self.name = parent, name
 
         def __enter__(self):
-            self.t0 = time.time()
+            self.t0 = time.perf_counter()   # monotonic: immune to NTP steps
             return self
 
         def __exit__(self, *exc):
             self.parent.timings[self.name] = \
                 self.parent.timings.get(self.name, 0.0) \
-                + (time.time() - self.t0) * 1000.0
+                + (time.perf_counter() - self.t0) * 1000.0
 
     def stage(self, name):
         return self._Ctx(self, name)

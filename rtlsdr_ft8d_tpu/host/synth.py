@@ -28,9 +28,13 @@ def synthesize_tones(tones, f0_hz=50.0, start_sample=0, amplitude=0.5,
         dphi = 2.0 * np.pi * dt * f
         n = np.arange(BLOCK_SIZE)
         seg = amplitude * np.exp(1j * (phi + dphi * n))
+        # clip BOTH window edges: a negative idx (negative-dt burst) must
+        # drop leading samples, not wrap to the window's tail via Python
+        # negative indexing
         end = min(idx + BLOCK_SIZE, num_samples)
-        if idx < num_samples:
-            out[idx:end] += seg[:end - idx]
+        s0 = max(idx, 0)
+        if s0 < end:
+            out[s0:end] += seg[s0 - idx:end - idx]
         phi += dphi * BLOCK_SIZE
         idx += BLOCK_SIZE
     if noise_sigma > 0:

@@ -16,6 +16,21 @@ from rtlsdr_ft8d_tpu.host.synth import synthesize_message
 from rtlsdr_ft8d_tpu.pipeline import Decode, decode_window
 
 
+def test_synth_negative_start_clips_leading_samples():
+    """A negative-dt burst must drop its leading samples, not wrap them
+    to the window tail via Python negative indexing (latent synth bug)."""
+    from rtlsdr_ft8d_tpu.host.synth import synthesize_tones
+
+    tones = np.zeros(79, np.int64)
+    w = synthesize_tones(tones, f0_hz=100.0, start_sample=-600)
+    burst_end = 79 * 512 - 600
+    assert np.abs(w[:burst_end]).max() > 0.4          # burst present
+    assert np.abs(w[burst_end:]).max() == 0.0         # nothing wrapped
+    # partial-symbol clip (start=-100) must not raise either
+    w2 = synthesize_tones(tones, f0_hz=100.0, start_sample=-100)
+    assert np.abs(w2[0]) > 0.4
+
+
 def test_iq_roundtrip(tmp_path):
     rng = np.random.default_rng(0)
     i = rng.standard_normal(1000).astype(np.float32)
