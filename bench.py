@@ -184,7 +184,6 @@ def main():
     # measured budget — VERDICT r1 #4): 1536 channels, each carrying THREE
     # signals, processed as 24 pipelined launches followed by the host
     # unpack of every survivor (native batched unpack).
-    import jax
     from rtlsdr_ft8d_tpu.pipeline import unpack_survivors
     from rtlsdr_ft8d_tpu.protocol.text import CallsignHashTable
 
@@ -271,9 +270,7 @@ def main():
         outs = [decode_window_device(gi, gq, budget=4096) for _ in range(4)]
         np.asarray(outs[-1]["n_ok"][0:1])
         per = (time.time() - t0) / 4
-        import jax
-        from rtlsdr_ft8d_tpu.pipeline import unpack_survivors as _us
-        res_w, _ = _us(jax.device_get(outs[-1]), WB)
+        res_w, _ = unpack_survivors(jax.device_get(outs[-1]), WB)
         n_ok_w = sum(1 for b, m in seeded.items()
                      if m in {d.text for d in res_w[b]})
         result["wideband_1500ch_ms_per_window"] = round(per * 1000.0, 1)
@@ -283,7 +280,6 @@ def main():
         # stack (refine + triple-coherent + OSD posterior shipping;
         # osd_cands=1 -> the global 1024-retry cap). Compile ~147 s
         # once, persistent-cached.
-        from rtlsdr_ft8d_tpu.pipeline import _merge_osd_decodes
         o = decode_window_device(gi, gq, budget=4096, osd_cands=1)
         np.asarray(o["n_ok"][0:1])
         t0 = time.time()

@@ -84,6 +84,15 @@ def run(trials=100):
         counts = []
         by_type = []
         for vi, (_name, kw) in enumerate(VARIANTS):
+            if done[vi]:
+                # saturated at an easier SNR: record as all-decoded and
+                # skip the expensive sweep (false-decode coverage comes
+                # from the dedicated pure-noise pass at the end)
+                counts.append(trials)
+                by_type.append([
+                    (sum(1 for b in range(trials) if b % n_types == ti),)
+                    * 2 for ti in range(n_types)])
+                continue
             res = decode_window(batch, **kw)
             got = [seeded[b] in {d.text for d in decs}
                    for b, decs in enumerate(res)]
