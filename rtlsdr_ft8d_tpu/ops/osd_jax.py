@@ -69,8 +69,8 @@ def _mrb_loop(perm, k):
     N = perm.shape[0]
     Mperm = E[perm]                                     # (N, 174, k)
 
-    def body(j, st):
-        R, A, has_piv, nbasis, basis_step = st
+    def body(st):
+        j, R, A, has_piv, nbasis, basis_step = st
         Mj = Mperm[:, j]                                # (N, k)
         coeff = Mj & has_piv
         # stored rows are RREF (one stored row per pivot column), so one
@@ -99,15 +99,22 @@ def _mrb_loop(perm, k):
         basis_step = jnp.where((slot_oh > 0) & take[:, None], j,
                                basis_step)
         nbasis = nbasis + take.astype(nbasis.dtype)
-        return R, A, has_piv, nbasis, basis_step
+        return j + 1, R, A, has_piv, nbasis, basis_step
 
-    st = (jnp.zeros((N, k, k), jnp.uint8),              # RREF rows
+    # while_loop, not fori: every candidate's basis usually completes
+    # after ~95-105 of the 174 reliability-ordered rows (random GF(2)
+    # rank excess is small), so the all-done early exit cuts ~40% of
+    # the elimination steps; completed candidates are masked no-ops
+    # either way, so the result is bit-identical
+    st = (jnp.int32(0),
+          jnp.zeros((N, k, k), jnp.uint8),              # RREF rows
           jnp.zeros((N, k, k), jnp.uint8),              # aug (inverse)
           jnp.zeros((N, k), jnp.uint8),                 # pivot occupancy
           jnp.zeros(N, jnp.int32),
           jnp.zeros((N, k), jnp.int32))
-    R, A, has_piv, nbasis, basis_step = jax.lax.fori_loop(
-        0, perm.shape[1], body, st)
+    n_rows = perm.shape[1]
+    _, R, A, has_piv, nbasis, basis_step = jax.lax.while_loop(
+        lambda s: (s[0] < n_rows) & ~jnp.all(s[4] >= k), body, st)
     return basis_step, A, nbasis >= k
 
 
