@@ -38,6 +38,18 @@ def encode_matrix() -> np.ndarray:
     return _E
 
 
+def pair_indices(pair_depth: int):
+    """(a, b) slot-index pairs for the order-2 flip patterns, in the
+    exact order osd_decode enumerates them — shared by the numpy and
+    device (ops/osd_jax.py) paths so the stable discrepancy sort
+    tie-breaks identically everywhere."""
+    pa = np.array([a for a in range(pair_depth)
+                   for _ in range(a + 1, pair_depth)], np.intp)
+    pb = np.array([b for a in range(pair_depth)
+                   for b in range(a + 1, pair_depth)], np.intp)
+    return pa, pb
+
+
 def _mrb_and_inverse(perm):
     """Greedy most-reliable basis: first 91 positions (in reliability
     order `perm`) with independent rows of E, plus the inverse of that
@@ -323,8 +335,7 @@ def osd_batch_numpy(llrs: np.ndarray, max_norm: float = 0.12,
     cws = np.empty((N, P, FT8_LDPC_N), np.uint8)
     cws[:, 0] = cw0
     cws[:, 1:1 + depth] = cw0[:, None, :] ^ colcw[:, :depth]
-    pa = [a for a in range(pair_depth) for _ in range(a + 1, pair_depth)]
-    pb = [b for a in range(pair_depth) for b in range(a + 1, pair_depth)]
+    pa, pb = pair_indices(pair_depth)
     cws[:, 1 + depth:] = cw0[:, None, :] ^ colcw[:, pa] ^ colcw[:, pb]
     diff = cws != hard[:, None, :]
     disc = np.einsum('npj,nj->np', diff, rel)       # (N, P) float64

@@ -153,17 +153,21 @@ def osd_device(llrs, max_norm: float = 0.12, depth: int = 24,
     colcw = (jnp.einsum('ndw,jd->nwj', icols.astype(jnp.float32), Ef)
              % 2.0).astype(jnp.uint8)                        # (N, nw, 174)
 
-    pa = np.array([a for a in range(pair_depth)
-                   for _ in range(a + 1, pair_depth)], np.int32)
-    pb = np.array([b for a in range(pair_depth)
-                   for b in range(a + 1, pair_depth)], np.int32)
+    from .osd import pair_indices
+    pa, pb = pair_indices(pair_depth)
     cws = jnp.concatenate([
         cw0[:, None, :],
         cw0[:, None, :] ^ colcw[:, :depth],
         cw0[:, None, :] ^ colcw[:, pa] ^ colcw[:, pb],
     ], axis=1)                                               # (N, P, 174)
     diff = (cws != hard[:, None, :]).astype(jnp.float32)
-    disc = jnp.einsum('npj,nj->np', diff, rel)
+    # the ONE non-binary GEMM here: rel is real-valued, and disc drives
+    # both the shortlist ordering and the accept gate — pin HIGHEST so
+    # the MXU doesn't decompose it to bf16 terms and diverge from the
+    # host float32 ordering (the GF(2) einsums are 0/1-exact at any
+    # precision)
+    disc = jnp.einsum('npj,nj->np', diff, rel,
+                      precision=jax.lax.Precision.HIGHEST)
     scale = jnp.maximum(jnp.mean(rel, axis=1) * FT8_LDPC_N, 1e-9)
 
     # CRC-check the crc_top lowest-discrepancy codewords per candidate

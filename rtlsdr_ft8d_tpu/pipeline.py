@@ -452,12 +452,16 @@ def _merge_osd_decodes(out, results, sub_params, hashes):
         if device_osd_enabled() and "osd_post_coh" in out:
             # paths that device_get before merging (elastic wideband,
             # bench deep configs) still get the device kernels, at the
-            # cost of re-uploading the selected posteriors
+            # cost of re-uploading the posteriors. Run the FULL fixed
+            # (n_osd, 174) tensors, not the n_idx-filtered rows: the
+            # valid-failure count changes every window and a
+            # data-dependent batch shape would force a fresh 10-40 s
+            # relay compile per window
             from .ops.osd_jax import osd_device_both
-            m_d, a_d = osd_device_both(
-                np.asarray(out["osd_post"])[n_idx],
-                np.asarray(out["osd_post_coh"])[n_idx])
-            msgs, accept = np.asarray(m_d), np.asarray(a_d).astype(bool)
+            m_d, a_d = osd_device_both(np.asarray(out["osd_post"]),
+                                       np.asarray(out["osd_post_coh"]))
+            msgs = np.asarray(m_d)[n_idx]
+            accept = np.asarray(a_d)[n_idx].astype(bool)
         else:
             post = np.asarray(out["osd_post"])[n_idx]
             msgs, accept = osd_batch(post)

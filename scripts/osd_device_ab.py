@@ -17,7 +17,9 @@ import numpy as np
 
 
 def _force(x):
-    np.asarray(np.asarray(x).reshape(-1)[0:1])
+    # slice ON DEVICE, then fetch one element (the axon idiom) — a
+    # whole-array np.asarray would put a full D2H inside the timed region
+    np.asarray(x.ravel()[0:1])
 
 
 def _timeit(name, fn, *args, reps=5, depth=8):
@@ -91,10 +93,14 @@ def main():
               f" speedup={t_host / max(t_dev, 1e-9):.1f}x", flush=True)
         # the production call: both posterior flavors in one stacked run
         _timeit(f"osd device both      n={n}", osd_device_both, dev, dev)
-        # host round-trip the device path eliminates (posts down only)
+        # host round-trip the device path eliminates (posts down only).
+        # jax caches the host copy after the first __array__, so each
+        # iteration must fetch a FRESH device array
+        fresh = [dev + np.float32(i + 1) for i in range(8)]
+        _force(fresh[0])
         t0 = time.time()
-        for _ in range(8):
-            _ = np.asarray(dev)
+        for f in fresh:
+            _ = jax.device_get(f)
         print(f"    posterior D2H transfer        "
               f"{(time.time() - t0) / 8 * 1e3:8.3f} ms (x2 flavors)",
               flush=True)

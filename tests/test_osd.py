@@ -196,8 +196,8 @@ def test_osd_device_matches_scalar():
         llrs = _mixed_llrs(seed=seed, n_noise=9)
         for dp, pd in ((24, 10), (6, 10), (24, 0)):
             m_s, a_s = osd_batch_scalar(llrs, depth=dp, pair_depth=pd)
-            m_d = np.asarray(osd_device(llrs, 0.12, dp, pd, 8)[0])
-            a_d = np.asarray(osd_device(llrs, 0.12, dp, pd, 8)[1])
+            m_d, a_d = osd_device(llrs, 0.12, dp, pd, 8)
+            m_d, a_d = np.asarray(m_d), np.asarray(a_d)
             assert np.array_equal(a_d, a_s), (seed, dp, pd)
             assert np.array_equal(m_d[a_s], m_s[a_s]), (seed, dp, pd)
 
