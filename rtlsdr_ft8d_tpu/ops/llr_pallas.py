@@ -49,7 +49,9 @@ def _kernel(plane_ref, to_ref, fo_ref, wfp_ref, out_ref):
         r2 = wfp_ref[p, pl.ds(t + 43 + _PAD_TOP, 29), :]
         rows_parts.extend((r1, r2))
         want_parts.extend(f + v for v in gray)
-    rows = jnp.concatenate(rows_parts, axis=0).astype(jnp.bfloat16)
+    # Mosaic has no unsigned->float cast; uint8 -> int32 -> bf16 is exact
+    rows = jnp.concatenate(rows_parts, axis=0) \
+        .astype(jnp.int32).astype(jnp.bfloat16)
     want = jnp.stack(want_parts)                        # (G*8,)
     col = jax.lax.broadcasted_iota(jnp.int32, (NUM_BIN, _G * 8), 0)
     sel = (col == want[None, :]).astype(jnp.bfloat16)   # (256, G*8)

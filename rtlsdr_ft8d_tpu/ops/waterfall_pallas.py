@@ -49,9 +49,11 @@ def _dot3(x_hi, x_lo, m_hi, m_lo):
 
 
 def _wf_kernel(i_ref, q_ref, c_ref, s_ref, cms_ref, out_ref):
-    used = NUM_BLOCKS_RAW * SUB_BLOCK_SIZE           # 47872
-    bl_i = i_ref[0, :used].reshape(NUM_BLOCKS_RAW, SUB_BLOCK_SIZE)
-    bl_q = q_ref[0, :used].reshape(NUM_BLOCKS_RAW, SUB_BLOCK_SIZE)
+    # blocks arrive pre-shaped (1, 187, 256): Mosaic requires the last two
+    # block dims to be (mult-of-8, mult-of-128) or the full array dims, so
+    # the (B, 48000) -> (B, 187, 256) slice+reshape happens XLA-side
+    bl_i = i_ref[0, :, :]
+    bl_q = q_ref[0, :, :]
     bl_s = bl_i + bl_q
     i_hi, i_lo = _split(bl_i)
     q_hi, q_lo = _split(bl_q)
@@ -78,7 +80,9 @@ def _wf_kernel(i_ref, q_ref, c_ref, s_ref, cms_ref, out_ref):
     # only divergence source vs the default is GEMM rounding
     db = 10.0 * jnp.log10(1e-12 + mag2 * _POW_SCALE)
     q = jnp.clip(jnp.trunc(2.0 * db + 240.0), 0.0, 255.0)
-    out_ref[0, :, :] = q.astype(jnp.uint8)
+    # Mosaic has no f32->uint8 cast; the value is an exact integer in
+    # [0,255] so f32->int32->uint8 is lossless
+    out_ref[0, :, :] = q.astype(jnp.int32).astype(jnp.uint8)
 
 
 @jax.jit
@@ -88,8 +92,11 @@ def waterfall_pallas(i_samples: jax.Array, q_samples: jax.Array):
 
     interpret = jax.devices()[0].platform == "cpu"
     batch_shape = i_samples.shape[:-1]
-    i2 = i_samples.reshape((-1, i_samples.shape[-1])).astype(jnp.float32)
-    q2 = q_samples.reshape((-1, q_samples.shape[-1])).astype(jnp.float32)
+    used = NUM_BLOCKS_RAW * SUB_BLOCK_SIZE           # 47872
+    i2 = i_samples.reshape((-1, i_samples.shape[-1]))[:, :used] \
+        .reshape((-1, NUM_BLOCKS_RAW, SUB_BLOCK_SIZE)).astype(jnp.float32)
+    q2 = q_samples.reshape((-1, q_samples.shape[-1]))[:, :used] \
+        .reshape((-1, NUM_BLOCKS_RAW, SUB_BLOCK_SIZE)).astype(jnp.float32)
     B = i2.shape[0]
 
     mats = (jnp.asarray(_COS), jnp.asarray(_SIN),
@@ -98,8 +105,10 @@ def waterfall_pallas(i_samples: jax.Array, q_samples: jax.Array):
     raw = pl.pallas_call(
         _wf_kernel,
         grid=(B,),
-        in_specs=[pl.BlockSpec((1, i2.shape[-1]), lambda b: (b, 0)),
-                  pl.BlockSpec((1, i2.shape[-1]), lambda b: (b, 0))]
+        in_specs=[pl.BlockSpec((1, NUM_BLOCKS_RAW, SUB_BLOCK_SIZE),
+                               lambda b: (b, 0, 0)),
+                  pl.BlockSpec((1, NUM_BLOCKS_RAW, SUB_BLOCK_SIZE),
+                               lambda b: (b, 0, 0))]
         + [pl.BlockSpec(m.shape, fixed) for m in mats],
         out_specs=pl.BlockSpec((1, NUM_FRAMES, _NBINS),
                                lambda b: (b, 0, 0)),
