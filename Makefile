@@ -1,7 +1,7 @@
 # Convenience targets (the reference's root Makefile builds one binary;
 # here the "binary" is the Python package + native library).
 
-.PHONY: all native test selftest smoke bench clean
+.PHONY: all native test selftest smoke bench sanitize clean
 
 all: native
 
@@ -19,6 +19,28 @@ smoke: native
 
 bench: native
 	python3 bench.py
+
+# ASan+UBSan run of the native library under the real test suite: every
+# test that crosses the ctypes boundary (codec parity + fuzz, IPFIX wire
+# format, ingest ring, OSD batch) executes against the sanitized build.
+# detect_leaks=0: CPython interns/arenas report as leaks; the target is
+# heap-buffer/UB errors in libft8tpu, which abort the run
+# (-fno-sanitize-recover=all). Pure-Python fallbacks are disabled so a
+# load failure cannot silently pass (FT8_TPU_REQUIRE_NATIVE=1).
+# libstdc++ must be preloaded with libasan: python doesn't link it, so
+# ASan's __cxa_throw interceptor would otherwise be uninitialized and
+# jaxlib's first C++ throw aborts the interpreter.
+SANITIZE_TESTS = tests/test_native.py tests/test_fuzz_parity.py \
+  tests/test_fuzz_edges.py tests/test_osd.py tests/test_host.py \
+  tests/test_protocol_tables.py
+sanitize:
+	$(MAKE) -C native asan
+	LD_PRELOAD="$$($(CXX) -print-file-name=libasan.so) $$($(CXX) -print-file-name=libstdc++.so)" \
+	ASAN_OPTIONS=detect_leaks=0:abort_on_error=1 \
+	UBSAN_OPTIONS=halt_on_error=1:print_stacktrace=1 \
+	FT8_TPU_NATIVE_SO=$(CURDIR)/native/libft8tpu_asan.so \
+	FT8_TPU_REQUIRE_NATIVE=1 \
+	python -m pytest $(SANITIZE_TESTS) -q
 
 clean:
 	$(MAKE) -C native clean 2>/dev/null || rm -f native/libft8tpu.so

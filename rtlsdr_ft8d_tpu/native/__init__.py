@@ -14,7 +14,10 @@ _TRIED = False
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
-_SO = os.path.join(_ROOT, "native", "libft8tpu.so")
+# FT8_TPU_NATIVE_SO overrides the library path — used by `make sanitize`
+# to run the test suite against the ASan/UBSan build of the same sources.
+_SO = os.environ.get("FT8_TPU_NATIVE_SO",
+                     os.path.join(_ROOT, "native", "libft8tpu.so"))
 
 
 class Ft8Spot(ctypes.Structure):
@@ -43,8 +46,13 @@ class Ft8SpotText(ctypes.Structure):
 
 
 def load(build_if_missing=True):
-    """Return the loaded library or None."""
+    """Return the loaded library or None.
+
+    FT8_TPU_REQUIRE_NATIVE=1 turns a load failure into a hard error so a
+    sanitizer/CI run cannot silently fall back to the pure-Python paths.
+    """
     global _LIB, _TRIED
+    required = os.environ.get("FT8_TPU_REQUIRE_NATIVE") == "1"
     if _LIB is not None or _TRIED and not build_if_missing:
         return _LIB
     _TRIED = True
@@ -53,8 +61,13 @@ def load(build_if_missing=True):
             subprocess.run(["make", "-C", os.path.join(_ROOT, "native")],
                            check=True, capture_output=True, timeout=120)
         except Exception:
+            if required:
+                raise
             return None
     if not os.path.exists(_SO):
+        if required:
+            raise OSError(f"native library missing: {_SO} "
+                          "(FT8_TPU_REQUIRE_NATIVE=1)")
         return None
     lib = ctypes.CDLL(_SO)
     lib.ft8_crc14.restype = ctypes.c_uint16
