@@ -37,21 +37,36 @@ _VMEM_LIMIT_BYTES = 48 * 1024 * 1024
 
 
 def _kernel(plane_ref, to_ref, fo_ref, wfp_ref, out_ref):
+    # Row selection is a one-hot MXU dot, NOT a dynamic slice: Mosaic
+    # requires dynamic sublane starts be provably 8-aligned (the original
+    # wfp_ref[p, pl.ds(t+7+PAD, 29), :] failed hardware compilation), but
+    # a dynamic index on the LEADING dim is unrestricted, so each
+    # candidate loads its whole (104, 256) plane and selects its 58 data-
+    # symbol rows with a (58, 104) one-hot built from iota==t+sym.
+    # One-hot dots of integers <= 255 are exact in bf16 (integers to 256
+    # are representable), so s2 stays bit-identical to the XLA gather.
     j = pl.program_id(0) * _G
     gray = [int(v) for v in GRAY_MAP]
+    # _DATA_SYM[k] = k + 7 + 7*(k//29) (ops/llr.py:20), built from iotas
+    # in-kernel (pallas_call rejects captured array constants).
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (FT8_ND, _ROWS), 1)
+    symid = jax.lax.broadcasted_iota(jnp.int32, (FT8_ND, _ROWS), 0)
+    sym2d = symid + 7 + 7 * (symid // 29)               # (58, 104) static
     rows_parts = []
     want_parts = []
     for g in range(_G):
         p = plane_ref[j + g]
         t = to_ref[j + g]
         f = fo_ref[j + g]
-        r1 = wfp_ref[p, pl.ds(t + 7 + _PAD_TOP, 29), :]
-        r2 = wfp_ref[p, pl.ds(t + 43 + _PAD_TOP, 29), :]
-        rows_parts.extend((r1, r2))
+        # Mosaic has no unsigned->float cast; uint8 -> int32 -> bf16 exact
+        plane = wfp_ref[p].astype(jnp.int32).astype(jnp.bfloat16)
+        prow = (rowid == (t + _PAD_TOP + sym2d)) \
+            .astype(jnp.bfloat16)                       # (58, 104)
+        rows_parts.append(
+            jnp.dot(prow, plane, preferred_element_type=jnp.float32)
+            .astype(jnp.bfloat16))
         want_parts.extend(f + v for v in gray)
-    # Mosaic has no unsigned->float cast; uint8 -> int32 -> bf16 is exact
-    rows = jnp.concatenate(rows_parts, axis=0) \
-        .astype(jnp.int32).astype(jnp.bfloat16)
+    rows = jnp.concatenate(rows_parts, axis=0)          # (G*58, 256)
     want = jnp.stack(want_parts)                        # (G*8,)
     col = jax.lax.broadcasted_iota(jnp.int32, (NUM_BIN, _G * 8), 0)
     sel = (col == want[None, :]).astype(jnp.bfloat16)   # (256, G*8)

@@ -3,9 +3,12 @@
 Fuses the whole waterfall stage — overlapped frame assembly, the 3-mult
 Karatsuba DFT GEMMs, |X|^2, dB log and the bit-exact uint8 quantization —
 into a single VMEM-resident kernel per channel. HBM traffic per channel
-drops to the 48 k samples in and the 94 KB quantized waterfall out (the
-XLA path materializes the 753 KB frame tensors and the 377 KB float
-magnitudes in between).
+drops to the 48 k samples in, one 187 KB f32 block-matrix copy per
+component (the [:, :used].reshape((-1, 187, 256)) staging below — XLA
+materializes it because Mosaic block tiling needs the contiguous
+(187, 256) layout), and the 94 KB quantized waterfall out; the XLA path
+additionally materializes the 753 KB frame tensors and the 377 KB float
+magnitudes in between.
 
 Two Pallas-specific design points:
   * NO frame tensor is built: frame t = blocks t..t+3 of a (187, 256)
