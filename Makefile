@@ -35,6 +35,12 @@ SANITIZE_TESTS = tests/test_native.py tests/test_fuzz_parity.py \
   tests/test_protocol_tables.py
 sanitize:
 	$(MAKE) -C native asan
+	@for lib in libasan.so libstdc++.so; do \
+	  p="$$($(CXX) -print-file-name=$$lib)"; \
+	  case "$$p" in /*) test -e "$$p" || { echo "error: $$lib resolved to missing $$p" >&2; exit 1; };; \
+	  *) echo "error: $$lib not found by $(CXX) (got '$$p') — install gcc sanitizer runtime" >&2; exit 1;; \
+	  esac; \
+	done
 	LD_PRELOAD="$$($(CXX) -print-file-name=libasan.so) $$($(CXX) -print-file-name=libstdc++.so)" \
 	ASAN_OPTIONS=detect_leaks=0:abort_on_error=1 \
 	UBSAN_OPTIONS=halt_on_error=1:print_stacktrace=1 \

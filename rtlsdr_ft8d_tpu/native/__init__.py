@@ -54,6 +54,9 @@ def load(build_if_missing=True):
     global _LIB, _TRIED
     required = os.environ.get("FT8_TPU_REQUIRE_NATIVE") == "1"
     if _LIB is not None or _TRIED and not build_if_missing:
+        if _LIB is None and required:
+            raise OSError(f"native library unavailable: {_SO} "
+                          "(FT8_TPU_REQUIRE_NATIVE=1; a prior load failed)")
         return _LIB
     _TRIED = True
     if not os.path.exists(_SO) and build_if_missing:

@@ -5,17 +5,21 @@ The XLA flat LLR path (ops/llr.py:_tone_mags_flat) gathers 58 waterfall
 rows per candidate through one big take (N*58 scattered HBM rows, then a
 one-hot einsum). Here the WHOLE (ts, fs)-planar waterfall sits in VMEM
 (64 channels x 4 planes x 104 x 256 uint8 = 6.8 MB, far under the 128 MB
-v5e VMEM) and each candidate's 58 rows are two contiguous VMEM dynamic
-slices — no HBM gather at all. The 8-tone column select stays a one-hot
-MXU dot, batched G=16 candidates per grid step so the (G*58, 256) x
-(256, G*8) pass fills full 128-lane tiles.
+v5e VMEM) and each candidate loads its (104, 256) plane — a dynamic
+index on the LEADING dim, which Mosaic allows unconditionally — then
+selects its 58 data-symbol rows with a (58, 104) one-hot MXU dot. (The
+earlier design used two dynamic SUBLANE slices per candidate; Mosaic
+requires dynamic sublane starts to be provably 8-aligned and it failed
+hardware compilation — see the in-kernel comment.) The 8-tone column
+select is a second one-hot MXU dot, batched G=16 candidates per grid
+step so the (G*58, 256) x (256, G*8) pass fills full 128-lane tiles.
 
 Zero-padding replaces the XLA path's clip+mask: plane rows are padded by
-5 above / 7 below so every dt slice is in range, and out-of-window
+5 above / 7 below so every dt row index is in range, and out-of-window
 symbols read zeros => max_set - max_clr = 0, exactly the masked XLA
-logl. s2 values are identical bits (0/1 x uint8 products, f32
-accumulate) so decode lists cannot change (tests/test_llr_pallas.py
-checks exact equality).
+logl. One-hot bf16 dots of integers <= 255 are exact (integers to 256
+are bf16-representable), so s2 values are identical bits and decode
+lists cannot change (tests/test_llr_pallas.py checks exact equality).
 
 Falls back to the XLA formulation when the waterfall would not fit
 VMEM (wideband batches) — the knob is safe to leave on everywhere.
