@@ -21,6 +21,10 @@ sys.path.insert(0, "/root/repo")
 
 import numpy as np
 
+# Module-level so the last-resort guard can print already-measured numbers
+# instead of a value-0 placeholder when a late section throws (ADVICE r4).
+RESULT = {}
+
 
 def main():
     import jax
@@ -145,7 +149,8 @@ def main():
                               else measure(budget=BUDGET))
 
     headline = max(windows_per_sec, wps_budget)
-    result = {
+    result = RESULT
+    result.update({
         "metric": "windows_per_sec_per_chip",
         "value": round(headline, 1),
         "unit": "15s-windows/s",
@@ -162,7 +167,7 @@ def main():
         "windows_per_sec_unbudgeted": round(windows_per_sec, 1),
         "windows_per_sec_budget1024": round(wps_budget, 1),
         "realtime_channels_per_chip": int(headline * 15),
-    }
+    })
 
     # Everything past the headline is an optional section: a crash there
     # must not lose the already-measured numbers (VERDICT r3 weak #2 —
@@ -198,24 +203,70 @@ def main():
     section("dense_1024", dense_1024)
 
     # Busy-band inputs shared by the two e2e sections: 64 channels, each
-    # carrying THREE signals.
-    busy = np.zeros((B, 48000), np.complex64)
-    for b in range(B):
-        for s in range(3):
-            busy[b] += synthesize_message(
-                msgs[(b + s) % 4], f0_hz=120 + 430 * s + 11.3 * b % 400,
-                noise_sigma=0.1 if s == 0 else 0.0,
-                rng=np.random.default_rng(b * 3 + s))
-    bi = jnp.asarray(np.real(busy).astype(np.float32))
-    bq = jnp.asarray(np.imag(busy).astype(np.float32))
+    # carrying THREE strong signals, plus (VERDICT r4 #5) a fourth WEAK
+    # signal at -19.5..-21 dB on every 4th channel — decodable only via
+    # the refine/coherent/OSD deep stack, so busy_e2e_osd_recovered is
+    # structurally nonzero and a silent OSD regression zeroes the bench.
+    # The setup itself runs under section() so a synthesis failure still
+    # prints the already-measured headline (ADVICE r4).
     LAUNCHES = 24                       # 1536 channels
     hashes = CallsignHashTable()
+    WEAK_MSG = "CQ W1AW FN31"
+    WEAK_SNRS = [-19.0, -19.5, -20.0, -20.5]
+    # Quiet channels seeded in the OSD-ONLY regime: one signal whose BP
+    # (incl. refine/coherent rungs) FAILS but whose OSD reprocessing
+    # recovers it — found by scanning sigma/seed on hardware with the
+    # OSD merge monkeypatched off (σ 4.0–5.3 ≈ −20.1…−21.7 dB). These
+    # make busy_e2e_osd_recovered structurally nonzero: a silent OSD
+    # regression (not just a crash) zeroes the bench.
+    OSD_MSG = "K1ABC W9XYZ EN37"
+    OSD_REGIME = [(4.4, 3, 610.0), (4.4, 9, 1030.0), (4.7, 26, 1117.5),
+                  (4.0, 33, 470.0), (5.0, 26, 1135.0)]
+    busy_in = {}
+
+    def busy_setup():
+        busy = np.zeros((B, 48000), np.complex64)
+        weak_chans, osd_chans = [], []
+        for b in range(B):
+            if b % 8 == 2 and len(osd_chans) < len(OSD_REGIME):
+                sig, seed, f0 = OSD_REGIME[len(osd_chans)]
+                busy[b] = synthesize_message(
+                    OSD_MSG, f0_hz=f0, noise_sigma=sig,
+                    rng=np.random.default_rng(seed))
+                osd_chans.append(b)
+                continue
+            for s in range(3):
+                busy[b] += synthesize_message(
+                    msgs[(b + s) % 4], f0_hz=120 + 430 * s + 11.3 * b % 400,
+                    noise_sigma=0.1 if s == 0 else 0.0,
+                    rng=np.random.default_rng(b * 3 + s))
+            if b % 4 == 0:
+                # channel noise sigma is 0.1 (the s==0 synth above);
+                # amplitude for a target SNR in 2500 Hz at 3200 sps uses
+                # the same convention as _sigma() inverted
+                snr = WEAK_SNRS[(b // 4) % len(WEAK_SNRS)]
+                amp = 0.1 * np.sqrt(2 * (2500.0 / 3200.0)
+                                    * 10 ** (snr / 10.0))
+                busy[b] += synthesize_message(
+                    WEAK_MSG, f0_hz=1450.0 + ((b // 4) % 8) * 12.5,
+                    amplitude=amp, noise_sigma=0.0,
+                    rng=np.random.default_rng(7000 + b))
+                weak_chans.append(b)
+        busy_in["bi"] = jnp.asarray(np.real(busy).astype(np.float32))
+        busy_in["bq"] = jnp.asarray(np.imag(busy).astype(np.float32))
+        busy_in["weak_chans"] = weak_chans
+        busy_in["osd_chans"] = osd_chans
+
+    section("busy_setup", busy_setup)
+    bi, bq = busy_in.get("bi"), busy_in.get("bq")
 
     def busy_e2e():
         # Busy-band END-TO-END (device dispatch + host unpack/dedup inside
         # the measured budget — VERDICT r1 #4): 1536 channels processed as
         # 24 pipelined launches followed by the host unpack of every
         # survivor (native batched unpack).
+        if bi is None:
+            raise RuntimeError("busy_setup failed")
         unpack_survivors(jax.device_get(decode_window_device(bi, bq)),
                          B, hashes)     # warm-up (compile reuse)
         t0 = time.time()
@@ -242,6 +293,8 @@ def main():
         # matched-filter refinement + posterior shipping on device,
         # vectorized OSD reprocessing + merge on host — all inside the
         # measured budget (VERDICT r2 missing #4).
+        if bi is None:
+            raise RuntimeError("busy_setup failed")
         OSD_CANDS = 8
         o = decode_window_device(bi, bq, osd_cands=OSD_CANDS)  # warm
         np.asarray(o["n_ok"][0:1])
@@ -250,6 +303,7 @@ def main():
                 for _ in range(LAUNCHES)]
         osd_host_t = 0.0
         n_spots_osd = n_osd_rec = 0
+        res = []
         for o in outs:
             o = jax.device_get(o)
             h0 = time.time()
@@ -258,13 +312,46 @@ def main():
             osd_host_t += time.time() - h0
             n_spots_osd += sum(len(r) for r in res)
         busy_osd_s = time.time() - t0
+        # Deep-stack accounting on the LAST launch (identical inputs every
+        # launch, so it is representative): weak_decoded = the -19..-20.5
+        # ladder channels that carry the weak message after the merge;
+        # osd_only_decoded = the OSD-regime quiet channels recovered.
+        weak_ok = sum(1 for b in busy_in.get("weak_chans", ())
+                      if WEAK_MSG in {d.text for d in res[b]})
+        osd_ok = sum(1 for b in busy_in.get("osd_chans", ())
+                     if OSD_MSG in {d.text for d in res[b]})
         result["busy_e2e_osd_wall_s"] = round(busy_osd_s, 2)
         result["busy_e2e_osd_host_ms"] = round(osd_host_t * 1000.0, 1)
         result["busy_e2e_osd_spots"] = n_spots_osd
         result["busy_e2e_osd_recovered"] = n_osd_rec
+        result["busy_e2e_weak_decoded"] = \
+            f"{weak_ok}/{len(busy_in.get('weak_chans', ()))}"
+        result["busy_e2e_osd_only_decoded"] = \
+            f"{osd_ok}/{len(busy_in.get('osd_chans', ()))}"
         result["busy_e2e_osd_realtime_ok"] = bool(busy_osd_s <= 15.0)
 
     section("busy_osd", busy_osd)
+
+    # OSD-benefit gate (VERDICT r4 #5): the deep-decode section must show
+    # the OSD stage RECOVERING decodes, not just running. The OSD-regime
+    # channels recover ONLY through the OSD merge (verified on hardware
+    # with the merge monkeypatched off: 0 recoveries without it), so a
+    # healthy stage recovers >= 5 per launch; the floors sit at roughly
+    # half the measured values (r5 hardware, promoted-Pallas graph:
+    # recovered 5/launch, osd_only 5/5, weak 8/16).
+    # BENCH_OSD_GATE=0 bypasses for debugging.
+    if _os.environ.get("BENCH_OSD_GATE") != "0":
+        rec = result.get("busy_e2e_osd_recovered", 0)
+        weak = int(str(result.get("busy_e2e_weak_decoded", "0/")).
+                   split("/")[0])
+        osd_only = int(str(result.get("busy_e2e_osd_only_decoded", "0/")).
+                       split("/")[0])
+        if rec < 2 * LAUNCHES or osd_only < 3 or weak < 4:
+            result["value"] = 0.0
+            result["error"] = (f"OSD benefit gate failed: recovered {rec} "
+                               f"(floor {2 * LAUNCHES}), osd_only "
+                               f"{osd_only}/5 (floor 3), weak {weak}/16 "
+                               f"(floor 4)")
 
     def wideband():
         # Flagship full-band config — ALL 1500 channels of one 2.4 MHz
@@ -337,7 +424,11 @@ if __name__ == "__main__":
         # perf record entirely (that is exactly what happened in r3).
         import traceback
         traceback.print_exc()
-        print(json.dumps({"metric": "windows_per_sec_per_chip",
-                          "value": 0.0, "unit": "15s-windows/s",
-                          "error": f"{type(e).__name__}: {e}"}))
+        # Keep any already-measured numbers (RESULT is populated as soon
+        # as the headline exists) instead of discarding them (ADVICE r4).
+        out = dict(RESULT) if RESULT.get("value") else {
+            "metric": "windows_per_sec_per_chip",
+            "value": 0.0, "unit": "15s-windows/s"}
+        out["error"] = f"{type(e).__name__}: {e}"
+        print(json.dumps(out))
         sys.exit(1)

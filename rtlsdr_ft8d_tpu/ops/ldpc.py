@@ -299,16 +299,16 @@ def crc_check(hard91: jax.Array) -> jax.Array:
 
 bp_decode_xla = bp_decode
 
-# FT8_TPU_BP_PALLAS=1 selects the single-kernel VMEM-resident Pallas
-# decoder (ops/ldpc_pallas.py). The knob lives HERE so every consumer
-# (pipeline, sharded dense path) resolves the same implementation.
-# FT8_TPU_EXACT=1 wins over it (the anchor's six-pass f32 GEMMs).
-if (_os.environ.get("FT8_TPU_BP_PALLAS") == "1"
-        and _os.environ.get("FT8_TPU_EXACT") == "1"):
-    import warnings
-
-    warnings.warn("FT8_TPU_BP_PALLAS ignored: FT8_TPU_EXACT=1 keeps the "
-                  "f32 XLA decoder")
-if (_os.environ.get("FT8_TPU_BP_PALLAS") == "1"
-        and _os.environ.get("FT8_TPU_EXACT") != "1"):
-    from .ldpc_pallas import bp_decode_pallas as bp_decode  # noqa: F811
+# FT8_TPU_BP_PALLAS selects the single-kernel VMEM-resident Pallas
+# decoder (ops/ldpc_pallas.py) — the TPU default since the round-5
+# hardware A/B (ops/knobs.py); XLA on CPU and under =0. The knob lives
+# HERE so every consumer (pipeline, sharded dense path) resolves the
+# same implementation. FT8_TPU_EXACT=1 wins over it (the anchor's
+# six-pass f32 GEMMs).
+def bp_decode(llr, max_iters: int = 20,            # noqa: F811
+              return_posterior: bool = False):
+    from .knobs import pallas_selected
+    if pallas_selected("FT8_TPU_BP_PALLAS", exact_wins=True):
+        from .ldpc_pallas import bp_decode_pallas
+        return bp_decode_pallas(llr, max_iters, return_posterior)
+    return bp_decode_xla(llr, max_iters, return_posterior)

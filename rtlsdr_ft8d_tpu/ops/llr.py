@@ -119,15 +119,19 @@ import os as _os
 
 _tone_mags_flat_xla = _tone_mags_flat
 
-# FT8_TPU_LLR_PALLAS=1 selects the VMEM-resident Pallas tone-magnitude
-# gather (ops/llr_pallas.py) for the flat paths. Its masked outputs are
-# bit-identical to this module's (tests/test_llr_pallas.py), so no
-# FT8_TPU_EXACT interplay is needed; it falls back to the XLA gather by
-# itself when the waterfall exceeds its VMEM budget (wideband batches).
-if _os.environ.get("FT8_TPU_LLR_PALLAS") == "1":
-    def _tone_mags_flat(wf, cand_flat, chan_idx):  # noqa: F811
+# FT8_TPU_LLR_PALLAS selects the VMEM-resident Pallas tone-magnitude
+# gather (ops/llr_pallas.py) for the flat paths — the TPU default since
+# the round-5 hardware A/B (ops/knobs.py); XLA on CPU and under =0.
+# Its masked outputs are bit-identical to this module's
+# (tests/test_llr_pallas.py), so no FT8_TPU_EXACT interplay is needed;
+# it falls back to the XLA gather by itself when the waterfall exceeds
+# its VMEM budget (wideband batches).
+def _tone_mags_flat(wf, cand_flat, chan_idx):  # noqa: F811
+    from .knobs import pallas_selected
+    if pallas_selected("FT8_TPU_LLR_PALLAS"):
         from .llr_pallas import tone_mags_flat_pallas
         return tone_mags_flat_pallas(wf, cand_flat, chan_idx)
+    return _tone_mags_flat_xla(wf, cand_flat, chan_idx)
 
 
 def extract_llrs_flat(wf: jax.Array, cand_flat: dict,

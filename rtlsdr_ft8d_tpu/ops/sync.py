@@ -123,12 +123,15 @@ def sync_scores(wf: jax.Array) -> jax.Array:
 
 import os as _os
 
-# FT8_TPU_SYNC_PALLAS=1 selects the VMEM-resident Pallas scorer
-# (ops/sync_pallas.py, bit-identical); default is the XLA formulation.
-if _os.environ.get("FT8_TPU_SYNC_PALLAS") == "1":
-    from .sync_pallas import sync_scores_pallas as _scores_impl
-else:
-    _scores_impl = sync_scores
+# FT8_TPU_SYNC_PALLAS selects the VMEM-resident Pallas scorer
+# (ops/sync_pallas.py, bit-identical) — the TPU default since the
+# round-5 hardware A/B (ops/knobs.py); XLA on CPU and under =0.
+def _scores_impl(wf):
+    from .knobs import pallas_selected
+    if pallas_selected("FT8_TPU_SYNC_PALLAS"):
+        from .sync_pallas import sync_scores_pallas
+        return sync_scores_pallas(wf)
+    return sync_scores(wf)
 
 
 CHUNK = 16   # freq-offset cells per first-stage chunk (100 Hz of band)

@@ -134,19 +134,16 @@ def waterfall_xla(i_samples: jax.Array, q_samples: jax.Array) -> jax.Array:
     return jnp.swapaxes(q, -1, -2)
 
 
-# FT8_TPU_WF_PALLAS=1 selects the fused single-kernel Pallas waterfall
-# (ops/waterfall_pallas.py). The knob lives HERE so every consumer
-# (single-chip pipeline, sharded dense path, tests) resolves the same
-# implementation. FT8_TPU_EXACT=1 wins over it: the bit-exact parity
-# anchor must never be silently replaced by a bf16x3 kernel.
-if (_os.environ.get("FT8_TPU_WF_PALLAS") == "1"
-        and _os.environ.get("FT8_TPU_EXACT") == "1"):
-    import warnings
-
-    warnings.warn("FT8_TPU_WF_PALLAS ignored: FT8_TPU_EXACT=1 keeps the "
-                  "bit-exact XLA waterfall")
-if (_os.environ.get("FT8_TPU_WF_PALLAS") == "1"
-        and _os.environ.get("FT8_TPU_EXACT") != "1"):
-    from .waterfall_pallas import waterfall_pallas as waterfall
-else:
-    waterfall = waterfall_xla
+# FT8_TPU_WF_PALLAS selects the fused single-kernel Pallas waterfall
+# (ops/waterfall_pallas.py) — the TPU default since the round-5 hardware
+# A/B (ops/knobs.py has the numbers and the resolution order). The knob
+# lives HERE so every consumer (single-chip pipeline, sharded dense
+# path, tests) resolves the same implementation. FT8_TPU_EXACT=1 wins
+# over it: the bit-exact parity anchor must never be silently replaced
+# by a bf16x3 kernel.
+def waterfall(i_s, q_s):
+    from .knobs import pallas_selected
+    if pallas_selected("FT8_TPU_WF_PALLAS", exact_wins=True):
+        from .waterfall_pallas import waterfall_pallas
+        return waterfall_pallas(i_s, q_s)
+    return waterfall_xla(i_s, q_s)

@@ -197,10 +197,14 @@ def test_exact_wins_over_pallas_knobs():
     import sys as _sys
 
     code = (
-        "import rtlsdr_ft8d_tpu.ops.waterfall as W\n"
-        "import rtlsdr_ft8d_tpu.ops.ldpc as L\n"
-        "assert W.waterfall is W.waterfall_xla, 'waterfall not anchored'\n"
-        "assert L.bp_decode is L.bp_decode_xla, 'bp not anchored'\n"
+        "import warnings\n"
+        "from rtlsdr_ft8d_tpu.ops.knobs import pallas_selected\n"
+        "with warnings.catch_warnings():\n"
+        "    warnings.simplefilter('ignore')\n"
+        "    assert not pallas_selected('FT8_TPU_WF_PALLAS',"
+        " exact_wins=True), 'waterfall not anchored'\n"
+        "    assert not pallas_selected('FT8_TPU_BP_PALLAS',"
+        " exact_wins=True), 'bp not anchored'\n"
         "print('anchored')\n")
     env = dict(os.environ, FT8_TPU_EXACT="1", FT8_TPU_WF_PALLAS="1",
                FT8_TPU_BP_PALLAS="1", JAX_PLATFORMS="cpu",
