@@ -41,7 +41,7 @@ def encode_matrix() -> np.ndarray:
 def pair_indices(pair_depth: int):
     """(a, b) slot-index pairs for the order-2 flip patterns, in the
     exact order osd_decode enumerates them — shared by the numpy and
-    device (ops/osd_jax.py) paths so the stable discrepancy sort
+    native (native/ft8codec.cc) paths so the stable discrepancy sort
     tie-breaks identically everywhere."""
     pa = np.array([a for a in range(pair_depth)
                    for _ in range(a + 1, pair_depth)], np.intp)

@@ -410,18 +410,6 @@ def _decode_pass(i_s, q_s, hashes, num_candidates, ldpc_iters,
         jnp.asarray(i_s), jnp.asarray(q_s), num_candidates, ldpc_iters,
         ap_cq, budget, osd_cands, ap_clamp_signs, ap_cw_signs,
         sync_exact)
-    if osd_cands > 0:
-        from .ops.osd_jax import device_osd_enabled
-        if device_osd_enabled():
-            # run the OSD reprocessing device-to-device BEFORE the
-            # transfer: the (n_osd, 174) posterior tensors never cross
-            # the host boundary (FT8_TPU_OSD_DEVICE=1, ops/osd_jax.py)
-            from .ops.osd_jax import osd_device_both
-            msgs, acc = osd_device_both(out_dev["osd_post"],
-                                        out_dev["osd_post_coh"])
-            out_dev = {k: v for k, v in out_dev.items()
-                       if k not in ("osd_post", "osd_post_coh")}
-            out_dev["osd_msgs"], out_dev["osd_accept"] = msgs, acc
     out = jax.device_get(out_dev)
     results, sub_params = unpack_survivors(out, i_s.shape[0], hashes)
     if osd_cands > 0:
@@ -441,43 +429,21 @@ def _merge_osd_decodes(out, results, sub_params, hashes):
     if n_idx.size == 0:
         return 0
     chan = np.asarray(out["osd_chan"])
-    if "osd_accept" in out:
-        # both attempts already ran on device (FT8_TPU_OSD_DEVICE=1,
-        # ops/osd_jax.py) — _decode_pass stripped the posterior tensors
-        # from the transfer and shipped messages + accept flags instead
-        msgs = np.asarray(out["osd_msgs"])[n_idx]
-        accept = np.asarray(out["osd_accept"])[n_idx].astype(bool)
-    else:
-        from .ops.osd_jax import device_osd_enabled
-        if device_osd_enabled() and "osd_post_coh" in out:
-            # paths that device_get before merging (elastic wideband,
-            # bench deep configs) still get the device kernels, at the
-            # cost of re-uploading the posteriors. Run the FULL fixed
-            # (n_osd, 174) tensors, not the n_idx-filtered rows: the
-            # valid-failure count changes every window and a
-            # data-dependent batch shape would force a fresh 10-40 s
-            # relay compile per window
-            from .ops.osd_jax import osd_device_both
-            m_d, a_d = osd_device_both(np.asarray(out["osd_post"]),
-                                       np.asarray(out["osd_post_coh"]))
-            msgs = np.asarray(m_d)[n_idx]
-            accept = np.asarray(a_d)[n_idx].astype(bool)
-        else:
-            post = np.asarray(out["osd_post"])[n_idx]
-            msgs, accept = osd_batch(post)
-            # second attempt on the block-coherent posteriors for the
-            # rows the triple-flavor attempt rejected (+1..2/48
-            # recoveries at -21..-22 dB, scripts/osd_coh_ab.py);
-            # incremental host cost tracks the reject count only
-            post_c = out.get("osd_post_coh")
-            if post_c is not None:
-                rej = np.nonzero(~accept)[0]
-                if rej.size:
-                    msgs2, accept2 = osd_batch(
-                        np.asarray(post_c)[n_idx][rej])
-                    hit = np.nonzero(accept2)[0]
-                    msgs[rej[hit]] = msgs2[hit]
-                    accept[rej[hit]] = True
+    post = np.asarray(out["osd_post"])[n_idx]
+    msgs, accept = osd_batch(post)
+    # second attempt on the block-coherent posteriors for the
+    # rows the triple-flavor attempt rejected (+1..2/48
+    # recoveries at -21..-22 dB, scripts/osd_coh_ab.py);
+    # incremental host cost tracks the reject count only
+    post_c = out.get("osd_post_coh")
+    if post_c is not None:
+        rej = np.nonzero(~accept)[0]
+        if rej.size:
+            msgs2, accept2 = osd_batch(
+                np.asarray(post_c)[n_idx][rej])
+            hit = np.nonzero(accept2)[0]
+            msgs[rej[hit]] = msgs2[hit]
+            accept[rej[hit]] = True
     per_row = isinstance(hashes, (list, tuple))
     n_recovered = 0
     for j, n in enumerate(n_idx):
