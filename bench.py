@@ -335,10 +335,10 @@ def main():
     # OSD-benefit gate (VERDICT r4 #5): the deep-decode section must show
     # the OSD stage RECOVERING decodes, not just running. The OSD-regime
     # channels recover ONLY through the OSD merge (verified on hardware
-    # with the merge monkeypatched off: 0 recoveries without it), so a
-    # healthy stage recovers >= 5 per launch; the floors sit at roughly
-    # half the measured values (r5 hardware, promoted-Pallas graph:
-    # recovered 5/launch, osd_only 5/5, weak 8/16).
+    # with the merge monkeypatched off: 0 recoveries without it). The
+    # floors sit below the measured values with margin (r5 hardware,
+    # promoted-Pallas graph, BENCH_r5_dev_pallas.json: recovered 96 =
+    # 4/launch, osd_only 4/5, weak 8/16).
     # BENCH_OSD_GATE=0 bypasses for debugging.
     if _os.environ.get("BENCH_OSD_GATE") != "0":
         rec = result.get("busy_e2e_osd_recovered", 0)
