@@ -115,7 +115,6 @@ def _tone_mags_flat(wf: jax.Array, cand_flat: dict, chan_idx: jax.Array):
     return s2, valid
 
 
-import os as _os
 
 _tone_mags_flat_xla = _tone_mags_flat
 

@@ -121,7 +121,6 @@ def sync_scores(wf: jax.Array) -> jax.Array:
     return jnp.sign(score) * q
 
 
-import os as _os
 
 # FT8_TPU_SYNC_PALLAS selects the VMEM-resident Pallas scorer
 # (ops/sync_pallas.py, bit-identical) — the TPU default since the

@@ -212,3 +212,51 @@ def test_exact_wins_over_pallas_knobs():
     out = subprocess.run([_sys.executable, "-c", code], env=env,
                          capture_output=True, text=True, timeout=240)
     assert "anchored" in out.stdout, (out.stdout, out.stderr)
+
+
+def test_knob_resolution_order():
+    """ops/knobs.pallas_selected: explicit =1/=0 beats the platform
+    default, unset resolves by backend (CPU -> XLA), EXACT wins over
+    the non-bit-exact knobs, and resolution is cached per process."""
+    import importlib
+
+    from rtlsdr_ft8d_tpu.ops import knobs
+
+    def fresh():
+        k = importlib.reload(knobs)
+        return k
+
+    k = fresh()
+    old = {n: os.environ.pop(n, None)
+           for n in ("FT8_TPU_TESTKNOB", "FT8_TPU_EXACT")}
+    try:
+        # unset -> platform default; this suite runs on CPU -> False
+        assert k.pallas_selected("FT8_TPU_TESTKNOB") is False
+        # cached: flipping env after first resolution has no effect
+        os.environ["FT8_TPU_TESTKNOB"] = "1"
+        assert k.pallas_selected("FT8_TPU_TESTKNOB") is False
+        k = fresh()
+        assert k.pallas_selected("FT8_TPU_TESTKNOB") is True
+        os.environ["FT8_TPU_TESTKNOB"] = "0"
+        k = fresh()
+        assert k.pallas_selected("FT8_TPU_TESTKNOB") is False
+        # EXACT wins over =1 for exact_wins knobs (with a warning)
+        os.environ["FT8_TPU_TESTKNOB"] = "1"
+        os.environ["FT8_TPU_EXACT"] = "1"
+        k = fresh()
+        import warnings
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            assert k.pallas_selected("FT8_TPU_TESTKNOB",
+                                     exact_wins=True) is False
+        assert any("FT8_TPU_EXACT" in str(x.message) for x in w)
+        # ...but not over knobs with no EXACT interplay
+        k = fresh()
+        assert k.pallas_selected("FT8_TPU_TESTKNOB") is True
+    finally:
+        os.environ.pop("FT8_TPU_TESTKNOB", None)
+        os.environ.pop("FT8_TPU_EXACT", None)
+        for n, v in old.items():
+            if v is not None:
+                os.environ[n] = v
+        importlib.reload(knobs)
