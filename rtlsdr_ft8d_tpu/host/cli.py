@@ -112,6 +112,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="decimate raw int8 IQ on-device with the Pallas "
                         "ingest kernel (4x less host->device bandwidth; "
                         "one-time ~3 min Mosaic compile on first window)")
+    p.add_argument("--ingest", choices=("auto", "device", "host"),
+                   default="auto",
+                   help="narrow-band decimation placement: 'device' = "
+                        "polyphase GEMM on the accelerator, 'host' = same "
+                        "bank in numpy (no full-rate upload), 'auto' = "
+                        "host on backends whose client leaks transfer "
+                        "buffers (the sandbox relay), device elsewhere")
     p.add_argument("--osd", type=int, default=0, metavar="M",
                    help="ordered-statistics decoding of the M best "
                         "BP-failed candidates per channel (~1 dB deeper; "
@@ -130,6 +137,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", action="store_true",
                    help="run the daemon loop from a synthetic full-rate "
                         "source (no hardware needed; for integration tests)")
+    p.add_argument("--synthetic-pace", action="store_true",
+                   help="with --synthetic: pace windows to real 15-s UTC "
+                        "boundaries (soak realism) instead of free-running")
     p.add_argument("--stats", action="store_true",
                    help="emit per-window JSON stats records to stderr")
     p.add_argument("--compile-cache", metavar="DIR", nargs="?",

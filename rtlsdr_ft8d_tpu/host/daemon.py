@@ -84,6 +84,33 @@ def decode_file(args) -> int:
     return 0 if total > 0 else 1
 
 
+def _client_leaks_transfers() -> bool:
+    """True on backends whose client retains every host->device transfer
+    buffer for the process lifetime (the sandbox's 'axon' relay — measured
+    137 MB retained per 144 MB upload, delete() a no-op; see
+    ops/decimate.StreamingDecimatorHost). A continuously-running daemon
+    must not stream full-rate windows through such a client.
+
+    Detection: the axon plugin registers its devices as plain 'tpu', so
+    the only reliable signal is its own activation knob — a non-empty
+    PALLAS_AXON_POOL_IPS (the repo-wide convention: setting it empty
+    disables the relay, tests/conftest.py)."""
+    import os
+
+    return bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+
+
+def _make_decimator(args):
+    """Narrow-band decimator per --ingest: 'host' = numpy polyphase (no
+    full-rate upload), 'device' = MXU GEMM, 'auto' = host only on
+    transfer-leaking clients."""
+    mode = getattr(args, "ingest", "auto")
+    if mode == "host" or (mode == "auto" and _client_leaks_transfers()):
+        from ..ops.decimate import StreamingDecimatorHost
+        return StreamingDecimatorHost()
+    return StreamingDecimator()
+
+
 class WindowProcessor:
     """Drains the ingest ring, decimates (or channelizes), decodes,
     reports one window."""
@@ -100,7 +127,7 @@ class WindowProcessor:
             self.qso = QsoTracker()
         else:
             self.qso = None
-        self.decimator = StreamingDecimator()
+        self.decimator = _make_decimator(args)
         self.wideband = getattr(args, "wideband", False)
         if self.wideband:
             from ..ops.channelize import StreamingChannelizerInt8
@@ -132,7 +159,7 @@ class WindowProcessor:
     def reset_streams(self):
         """Drop overlap-save filter state after a resync gap (the carried
         history no longer abuts the next window's samples)."""
-        self.decimator = StreamingDecimator()
+        self.decimator = _make_decimator(self.args)
         if hasattr(self, "_int8_decimator"):
             del self._int8_decimator
         if self.wideband:
@@ -418,11 +445,18 @@ def run_daemon(args) -> int:
         i8 = np.zeros(FULLRATE_WINDOW, dtype=np.int8)
         q8 = np.zeros(FULLRATE_WINDOW, dtype=np.int8)
         multiband = len(bands) > 1 and not getattr(args, "wideband", False)
-        if not synthetic:
+        pace = synthetic and getattr(args, "synthetic_pace", False)
+        if not synthetic or pace:
             align_to_boundary()
         dropped_seen = [0] * len(rings)
         consecutive_short = 0
         while not stop:
+            if pace and not stop:
+                # soak realism: one window per real 15-s UTC boundary
+                # (plain --synthetic free-runs for fast integration tests)
+                deadline = _now() + seconds_to_next_window()
+                while not stop and _now() < deadline:
+                    _sleep(min(0.1, max(deadline - _now(), 0.0)))
             basebands = []
             short = None
             for src, ring, proc in zip(sources, rings, procs):

@@ -148,6 +148,52 @@ class StreamingDecimator:
         return np.asarray(i_out), np.asarray(q_out)
 
 
+class StreamingDecimatorHost:
+    """Host-side (numpy) twin of StreamingDecimator: same polyphase bank,
+    same overlap-save state, no device traffic at all.
+
+    Exists for one reason (found by the round-5 soak): the sandbox's
+    remote-TPU client NEVER FREES host->device transfer buffers — every
+    upload's backing memory is retained for the life of the process
+    (measured: 137 MB retained per 144 MB upload, `delete()` is a no-op;
+    the CPU backend is flat). A daemon uploading 2x144 MB of full-rate
+    f32 per window therefore leaks ~275 MB/window and OOMs a 128 GB host
+    in ~3.5 h (SOAK.json, 2026-08-20). Decimating on host cuts the
+    per-window upload to the 3200 sps baseband (~0.4 MB) — the leak
+    slope drops ~700x; the 288-MFLOP/s host cost is what a Raspberry Pi
+    spent on the same job in the reference (rtlsdr_ft8d.c:76-202).
+
+    The daemon selects this automatically on the leaky client
+    (host/daemon.py --ingest auto); real pods keep the device GEMM.
+    """
+
+    def __init__(self):
+        self._hist_i = np.zeros(HISTORY, np.float32)
+        self._hist_q = np.zeros(HISTORY, np.float32)
+
+    @staticmethod
+    def _one(x_full):
+        bank = _polyphase_bank()                    # (750, 8)
+        m = (x_full.shape[-1] - HISTORY) // R
+        nf = m + PHASES - 1
+        fr = x_full.reshape(nf, R)
+        y = fr @ bank                               # (nf, 8) f32
+        out = np.zeros(m, np.float32)
+        for r in range(PHASES):
+            out += y[r:r + m, r]
+        return out
+
+    def process(self, i_chunk, q_chunk):
+        i_chunk = np.asarray(i_chunk, np.float32)
+        q_chunk = np.asarray(q_chunk, np.float32)
+        assert i_chunk.shape[-1] % R == 0
+        i_full = np.concatenate([self._hist_i, i_chunk])
+        q_full = np.concatenate([self._hist_q, q_chunk])
+        self._hist_i = i_full[-HISTORY:].copy()
+        self._hist_q = q_full[-HISTORY:].copy()
+        return self._one(i_full), self._one(q_full)
+
+
 class StreamingDecimatorInt8:
     """int8 variant: uploads raw int8 IQ (4x less host->device traffic) and
     runs the Pallas ingest kernel (ops/decimate_pallas.py) on device.

@@ -50,7 +50,8 @@ def main():
 
     cmd = [sys.executable, "-m", "rtlsdr_ft8d_tpu.host.cli",
            "-f", "20m", "-c", "T1ST", "-l", "AA00",
-           "--synthetic", "--stats", "-n", str(args.windows)]
+           "--synthetic", "--synthetic-pace", "--stats",
+           "-n", str(args.windows)]
     if args.wideband:
         cmd += ["--wideband", "--wideband-channels", "0,1,2,3"]
 

@@ -127,3 +127,25 @@ def test_full_chain_decode():
     assert "CQ K1JT FN20" in texts
     d = [d for d in decodes if d.text == "CQ K1JT FN20"][0]
     assert abs(d.freq_hz - (f0 - 3.5 * TONE_SPACING_HZ)) < 7
+
+
+def test_streaming_host_matches_device():
+    """StreamingDecimatorHost (numpy, zero device traffic — the daemon's
+    default on transfer-leaking clients) must match the device GEMM
+    streaming path chunk-for-chunk."""
+    from rtlsdr_ft8d_tpu.ops.decimate import StreamingDecimatorHost
+
+    rng = np.random.default_rng(9)
+    m = 96
+    x_i = rng.standard_normal(m * R).astype(np.float32)
+    x_q = rng.standard_normal(m * R).astype(np.float32)
+    dev = StreamingDecimator()
+    host = StreamingDecimatorHost()
+    pos = 0
+    for chunk in (31, 17, 5, 43):
+        c = chunk * R
+        di, dq = dev.process(x_i[pos:pos + c], x_q[pos:pos + c])
+        hi, hq = host.process(x_i[pos:pos + c], x_q[pos:pos + c])
+        np.testing.assert_allclose(hi, di, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(hq, dq, rtol=1e-4, atol=1e-5)
+        pos += c
