@@ -454,3 +454,25 @@ def test_multiband_daemon_one_batched_decode(monkeypatch):
     assert dials == [7_074_000, 14_074_000]
     for _dial, texts in calls:
         assert any("K1JT" in t for t in texts), calls
+
+
+def test_ingest_mode_selection(monkeypatch):
+    """--ingest auto must pick the host decimator exactly when the
+    transfer-leaking relay is active (non-empty PALLAS_AXON_POOL_IPS),
+    and the explicit modes must win either way."""
+    from rtlsdr_ft8d_tpu.host import daemon
+    from rtlsdr_ft8d_tpu.ops.decimate import (StreamingDecimator,
+                                              StreamingDecimatorHost)
+
+    class A:
+        ingest = "auto"
+
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+    assert isinstance(daemon._make_decimator(A()), StreamingDecimatorHost)
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "")
+    assert isinstance(daemon._make_decimator(A()), StreamingDecimator)
+    A.ingest = "host"
+    assert isinstance(daemon._make_decimator(A()), StreamingDecimatorHost)
+    A.ingest = "device"
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+    assert isinstance(daemon._make_decimator(A()), StreamingDecimator)
