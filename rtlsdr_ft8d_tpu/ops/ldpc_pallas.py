@@ -73,28 +73,18 @@ def _bp_kernel(llr_ref, v2e_ref, t2e_ref, e2t_ref, g_ref, sumt_ref,
     f32 = jnp.float32
     bf16 = jnp.bfloat16
     dot = functools.partial(jnp.dot, preferred_element_type=f32)
-    # 0/1 x 0/1 GEMMs are bf16-EXACT (integer counts <= 7): run them as
-    # one-pass bf16 MXU work instead of multi-pass f32 emulation. The
-    # selection matrices of the value-carrying GEMMs are also exact in
-    # bf16, and the VALUE operand runs as a hi+lo bf16 split (~16-bit
-    # mantissa, two MXU passes instead of f32 emulation's three) —
-    # decode-set parity instruments in tests + knife-edge.
+    # 0/1 x 0/1 GEMMs are bf16-EXACT (integer products, counts <= 7 sum
+    # exactly in f32): run them as one-pass bf16 MXU work instead of
+    # multi-pass f32 emulation — bit-identical outputs. (A hi+lo bf16
+    # split of the VALUE GEMMs measured 1.18 -> 0.90 ms but LOST one
+    # knife-edge decode in 512 channels — loss-direction divergence, so
+    # it was rejected per the precision policy; the value GEMMs stay f32.)
     v2c_bf = v2c.astype(bf16)
     g_bf = g.astype(bf16)
-    v2e_bf = v2e.astype(bf16)
-    t2e_bf = t2e.astype(bf16)
-    e2t_bf = e2t.astype(bf16)
-    sumt_bf = sumt.astype(bf16)
-
-    def vdot(x, sel_bf):
-        # value (f32) x 0/1 selection: hi/lo bf16 split, f32 accumulate
-        hi = x.astype(bf16)
-        lo = (x - hi.astype(f32)).astype(bf16)
-        return dot(hi, sel_bf) + dot(lo, sel_bf)
 
     def body(_, state):
         tov, best_err, best_hard = state
-        post = llr + vdot(tov, sumt_bf)                # (B, 174)
+        post = llr + dot(tov, sumt)                    # (B, 174)
         hard = (post > 0).astype(f32)
         cnt = dot(hard.astype(bf16), v2c_bf)           # (B, 83) exact
         par = cnt - 2.0 * jnp.floor(cnt * 0.5)         # mod 2, exact in f32
