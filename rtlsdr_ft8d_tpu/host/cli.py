@@ -143,9 +143,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stats", action="store_true",
                    help="emit per-window JSON stats records to stderr")
     p.add_argument("--compile-cache", metavar="DIR", nargs="?",
-                   const="", default=None,
-                   help="enable the persistent XLA compile cache "
-                        "(FFTW-wisdom analogue)")
+                   const="", default="",
+                   help="persistent XLA compile cache directory (FFTW-"
+                        "wisdom analogue). ON by default (default dir); "
+                        "--no-compile-cache disables. Without it every "
+                        "daemon start pays full window-1 compiles — the "
+                        "round-5 soaks measured 30-280 s of them")
+    p.add_argument("--no-compile-cache", dest="compile_cache",
+                   action="store_const", const=None,
+                   help="disable the persistent XLA compile cache")
     p.add_argument("--psk-host", default=None, help="PSKreporter host")
     p.add_argument("--psk-port", type=int, default=4739)
     p.add_argument("--elastic", action="store_true",

@@ -193,14 +193,20 @@ class WindowProcessor:
         budget = getattr(self.args, "budget", None)
         if budget is None and len(self.wb_channels) >= 512:
             budget = 4096
-        i_ch, q_ch = self.channelizer.process(i8, q8)
-        sel = self.wb_channels
+        # channel bank stays ON DEVICE: selection, padding and the decode
+        # consume it in place — the previous host round-trip of the full
+        # (1500, 48000) bank (~576 MB both ways) made every wideband
+        # window miss its 15-s boundary through the relay (round-5
+        # wideband soak finding)
+        import jax.numpy as jnp
+        i_ch, q_ch = self.channelizer.process(i8, q8, device=True)
+        sel = np.asarray(self.wb_channels, np.int32)
         i_b = i_ch[sel]
         q_b = q_ch[sel]
         if i_b.shape[1] < WINDOW:
             pad = WINDOW - i_b.shape[1]
-            i_b = np.pad(i_b, ((0, 0), (0, pad)))
-            q_b = np.pad(q_b, ((0, 0), (0, pad)))
+            i_b = jnp.pad(i_b, ((0, 0), (0, pad)))
+            q_b = jnp.pad(q_b, ((0, 0), (0, pad)))
         i_b, q_b = i_b[:, :WINDOW], q_b[:, :WINDOW]
         epoch = int(_now()) - SIGNAL_LENGTH_S + 1
         when = datetime.fromtimestamp(epoch, timezone.utc)

@@ -163,7 +163,12 @@ class StreamingChannelizerInt8:
         self._hist_q = np.zeros(WB_HISTORY, np.int8)
         self._frames_out = 0
 
-    def process(self, i8, q8):
+    def process(self, i8, q8, device=False):
+        """device=True returns jax arrays WITHOUT downloading: the full
+        (1500, 48000) channel bank is ~576 MB — round-tripping it to host
+        per window costs seconds through a relay (and the leaky sandbox
+        client retains the re-upload), found by the round-5 wideband
+        soak. The daemon selects/pads/decodes device-side."""
         i8 = np.asarray(i8, np.int8)
         q8 = np.asarray(q8, np.int8)
         assert i8.shape[-1] % R == 0
@@ -175,6 +180,8 @@ class StreamingChannelizerInt8:
         self._frames_out += i8.shape[-1] // R
         i_ch, q_ch = channelize_int8(jnp.asarray(i_full),
                                      jnp.asarray(q_full), jnp.int32(off))
+        if device:
+            return i_ch, q_ch
         return np.asarray(i_ch), np.asarray(q_ch)
 
 
